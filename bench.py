@@ -1,0 +1,104 @@
+"""Headline benchmark: BLS12-381 G1 MSM points/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md): its own harness
+(wasmcurves/benchmarks/multiexp.js) prints wall-clock for N=2^17 on a host
+CPU.  vs_baseline is normalized against REF_WASM_PTS_PER_SEC, a measured
+single-thread node/WASM figure for the reference's optimized engine
+(~2.5e4 points/sec at 2^16 on a modern x86 core; see BASELINE.md —
+"several minutes" for 10 reps of 2^16 in test/batchAffine.js:1257-1301
+implies a few seconds per 65k-point MSM).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_WASM_PTS_PER_SEC = 2.5e4
+
+LOG2N = int(os.environ.get("BENCH_LOG2N", "20"))
+WINDOW = os.environ.get("BENCH_C")  # optional override
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zprize_wasm_msm_tpu.models.curves import bls12_381
+    from zprize_wasm_msm_tpu.ops.msm import glv as glv_mod
+    from zprize_wasm_msm_tpu.ops.msm import pippenger
+    from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs
+
+    n = 1 << LOG2N
+    fq, fr = bls12_381.fq, bls12_381.fr
+
+    # Generate a valid point batch device-side: random scalars times G would
+    # need an MSM; instead tile a small set of true multiples of G computed
+    # host-side (cheap), with random full-width scalars.  Bucket paths are
+    # digit-driven, so scalar randomness exercises the pipeline fully.
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(
+        q=bls12_381.q, a=0, b=bls12_381.b, r=bls12_381.r,
+        gx=bls12_381.gx, gy=bls12_381.gy,
+    )
+    base = 64
+    rng = np.random.default_rng(123)
+    pts = [oc.mul(oc.g, int(rng.integers(1, 1 << 62))) for _ in range(base)]
+    xs = np.asarray(
+        ints_to_limbs([fq.to_mont_int(p[0]) for p in pts], fq.n_limbs)
+    )
+    ys = np.asarray(
+        ints_to_limbs([fq.to_mont_int(p[1]) for p in pts], fq.n_limbs)
+    )
+    reps = n // base
+    X = jnp.asarray(np.tile(xs, (1, reps)))
+    Y = jnp.asarray(np.tile(ys, (1, reps)))
+    ks = rng.integers(0, 1 << 62, size=(n,), dtype=np.uint64)
+    # widen to full 255-bit scalars: multiply by a mixer host-side
+    mix = int.from_bytes(rng.bytes(24), "little")
+    kints = [(int(k) * mix + int(k)) % bls12_381.r for k in ks]
+    sc = jnp.asarray(ints_to_limbs(kints, fr.n_limbs))
+
+    c = int(WINDOW) if WINDOW else None
+    max_bits = glv_mod.HALF_LIMBS * 16
+
+    def run(X, Y, sc):
+        pts2, s2 = glv_mod.preprocess_endomorphism(bls12_381, (X, Y), sc)
+        return pippenger.msm(bls12_381, pts2, s2, c=c, max_bits=max_bits)
+
+    # compile
+    t0 = time.time()
+    res = run(X, Y, sc)
+    jax.block_until_ready(res)
+    compile_and_first = time.time() - t0
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        res = run(X, Y, sc)
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+    best = min(times)
+    pps = n / best
+    out = {
+        "metric": f"msm_points_per_sec_bls12_381_g1_2^{LOG2N}",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / REF_WASM_PTS_PER_SEC, 3),
+    }
+    print(json.dumps(out))
+    print(
+        f"# n=2^{LOG2N} best={best:.3f}s times={['%.3f' % t for t in times]} "
+        f"first_call={compile_and_first:.1f}s device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""GLV decomposition tests (ref wasmcurves/test/glv.js).
+
+Decomposition identity is checked host-side against python bigints
+(k == ±|k1| + lambda*(±|k2|) mod r), and phi(P) == lambda*P via the
+oracle — together these imply k*P == k1*P + k2*phi(P), the property
+test/glv.js:67-102 checks in WASM.
+"""
+
+import numpy as np
+import pytest
+
+from zprize_wasm_msm_tpu.models.curves import bls12_381, bls12_377
+from zprize_wasm_msm_tpu.ops.msm import glv
+from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs, limbs_to_ints
+
+
+@pytest.fixture(params=["bls12_381", "bls12_377"])
+def curve(request):
+    return {"bls12_381": bls12_381, "bls12_377": bls12_377}[request.param]
+
+
+def test_phi_is_lambda(curve):
+    """phi(G) == lambda*G (host oracle check of the curve constants)."""
+    oc = OracleCurve(q=curve.q, a=0, b=curve.b, r=curve.r, gx=curve.gx, gy=curve.gy)
+    g = curve.glv
+    lhs = (g.beta * curve.gx % curve.q, curve.gy)
+    assert lhs == oc.mul(oc.g, g.lam)
+
+
+def test_decompose_scalars(curve, rng):
+    r = curve.r
+    g = curve.glv
+    ks = [0, 1, 2, r - 1, r // 2, g.lam, g.u0 % r] + [
+        int.from_bytes(rng.bytes(40), "little") % r for _ in range(9)
+    ]
+    # one non-canonical (>= r) scalar, as the reference's 256-bit input allows
+    ks.append(r + 12345)
+    Ls = curve.fr.n_limbs
+    sc = ints_to_limbs(ks, Ls)
+    k1, k2, p1, p2 = glv.decompose_scalars(curve, sc)
+    k1i = limbs_to_ints(np.asarray(k1))
+    k2i = limbs_to_ints(np.asarray(k2))
+    p1 = np.asarray(p1)
+    p2 = np.asarray(p2)
+    for i, k in enumerate(ks):
+        s1 = k1i[i] if p1[i] else -k1i[i]
+        s2 = k2i[i] if p2[i] else -k2i[i]
+        assert (s1 + s2 * g.lam - k) % r == 0, f"decompose {i}"
+        assert k1i[i] < 1 << 130, f"k1 width {i}"
+        assert k2i[i] < 1 << 130, f"k2 width {i}"
+
+
+def test_preprocess_endomorphism(curve, rng):
+    """2n folded points/scalars reproduce k*P (checked with the oracle on
+    scalars small enough for quick host verification of the group sums)."""
+    oc = OracleCurve(q=curve.q, a=0, b=curve.b, r=curve.r, gx=curve.gx, gy=curve.gy)
+    fq = curve.fq
+    ks = [5, curve.r - 3, int.from_bytes(rng.bytes(31), "little") % curve.r]
+    pts = [oc.mul(oc.g, 3), oc.mul(oc.g, 7), oc.mul(oc.g, 11)]
+    X = ints_to_limbs([fq.to_mont_int(p[0]) for p in pts], fq.n_limbs)
+    Y = ints_to_limbs([fq.to_mont_int(p[1]) for p in pts], fq.n_limbs)
+    sc = ints_to_limbs(ks, curve.fr.n_limbs)
+    (Xo, Yo), kout = glv.preprocess_endomorphism(curve, (X, Y), sc)
+    assert Xo.shape[1] == 6 and kout.shape == (glv.HALF_LIMBS, 6)
+    xs = limbs_to_ints(np.asarray(Xo))
+    ys = limbs_to_ints(np.asarray(Yo))
+    kk = limbs_to_ints(np.asarray(kout))
+    # oracle: sum over the 2n outputs must equal sum of k_i * P_i
+    total = None
+    for j in range(6):
+        pj = (fq.from_mont_int(xs[j]), fq.from_mont_int(ys[j]))
+        total = oc.add(total, oc.mul(pj, kk[j]))
+    expect = None
+    for k, p in zip(ks, pts):
+        expect = oc.add(expect, oc.mul(p, k))
+    assert total == expect

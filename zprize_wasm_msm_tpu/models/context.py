@@ -1,0 +1,105 @@
+"""Curve context: the package's user-facing API object.
+
+TPU-native analog of the reference's protoboard (wasmcurves/index.js:26-29
+exports buildBn128/buildBls12381/buildF1m, each returning an instantiated
+WASM module whose exports are methods).  Here a ``CurveContext`` bundles a
+CurveSpec with bound, jitted methods over limb-vector batches; the "module
+instantiation" cost is jit specialization, paid lazily per shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.curve import group
+from ..ops.curve.spec import CurveSpec
+from ..ops.field import mont
+from ..ops.msm import glv as glv_mod
+from ..ops.msm import pippenger, windows
+from ..utils.limbs import ints_to_limbs, limbs_to_ints
+
+
+@dataclass
+class CurveContext:
+    spec: CurveSpec
+
+    # ---- marshalling (role of pb.set/pb.get) -----------------------------
+
+    def points_to_device(self, pts: Sequence[Optional[Tuple[int, int]]]):
+        """Affine python points (None = infinity) -> Montgomery limb batch."""
+        fq = self.spec.fq
+        xs = [0 if p is None else fq.to_mont_int(p[0]) for p in pts]
+        ys = [0 if p is None else fq.to_mont_int(p[1]) for p in pts]
+        return (
+            jnp.asarray(ints_to_limbs(xs, fq.n_limbs)),
+            jnp.asarray(ints_to_limbs(ys, fq.n_limbs)),
+        )
+
+    def scalars_to_device(self, ks: Sequence[int]) -> jnp.ndarray:
+        fr = self.spec.fr
+        return jnp.asarray(ints_to_limbs([k % (1 << fr.n_limbs * 16) for k in ks], fr.n_limbs))
+
+    def result_to_affine(self, res) -> Optional[Tuple[int, int]]:
+        """Projective device point -> python affine (None = infinity)."""
+        fq = self.spec.fq
+        r = tuple(c[:, None] if c.ndim == 1 else c for c in res)
+        x, y = group.to_affine(self.spec, r)
+        xi = fq.from_mont_int(limbs_to_ints(np.asarray(x))[0])
+        yi = fq.from_mont_int(limbs_to_ints(np.asarray(y))[0])
+        return None if (xi == 0 and yi == 0) else (xi, yi)
+
+    # ---- MSM (the reference's g1m_multiexp_multiExp) ---------------------
+
+    def msm(
+        self,
+        points,
+        scalars,
+        c: Optional[int] = None,
+        use_glv: Optional[bool] = None,
+        **kw,
+    ):
+        """points: (X, Y) device batch; scalars: device limb batch.
+
+        Applies GLV preprocessing when the curve supports it (the
+        composition the reference leaves to the caller,
+        build_glv.js preprocessEndomorphism + multiExp).
+        """
+        spec = self.spec
+        max_bits = kw.pop("max_bits", None)
+        if use_glv is None:
+            use_glv = spec.glv is not None
+        if use_glv and spec.glv is not None:
+            points, scalars = glv_mod.preprocess_endomorphism(spec, points, scalars)
+            max_bits = glv_mod.HALF_LIMBS * 16
+        return pippenger.msm(spec, points, scalars, c=c, max_bits=max_bits, **kw)
+
+    def msm_host(self, pts, ks, **kw) -> Optional[Tuple[int, int]]:
+        """Convenience end-to-end host API: python points/ints in, out."""
+        P = self.points_to_device(pts)
+        s = self.scalars_to_device(ks)
+        return self.result_to_affine(self.msm(P, s, **kw))
+
+    # ---- misc parity surface ---------------------------------------------
+
+    def times_scalar(self, points, scalars):
+        return group.times_scalar(self.spec, points, scalars)
+
+    @property
+    def g1(self):
+        return group.generator(self.spec, ())
+
+    @property
+    def fq(self):
+        return self.spec.fq
+
+    @property
+    def fr(self):
+        return self.spec.fr
+
+
+def build_curve(spec: CurveSpec) -> CurveContext:
+    return CurveContext(spec)

@@ -1,0 +1,174 @@
+"""Curve registry: the concrete curve assemblies.
+
+TPU-native analog of the reference's curve assembly layer
+(wasmcurves/src/bls12381/build_bls12381.js:22-23 for q/r,
+src/bn128/build_bn128.js, src/mnt6753/build_mnt6753.js), plus BLS12-377
+(the ZPrize curve, not present in the reference but required by
+BASELINE.json's config matrix).
+
+All constants are public curve standards; GLV lattice constants match
+wasmcurves/src/build_glv.js:13-30.
+"""
+
+from __future__ import annotations
+
+from ..ops.curve.spec import CurveSpec, GLVSpec
+
+# --------------------------------------------------------------------------
+# BLS12-381 (ref: build_bls12381.js:22-23, build_glv.js:13-30)
+# --------------------------------------------------------------------------
+
+BLS12_381_Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+BLS12_381_R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+bls12_381 = CurveSpec(
+    name="bls12_381",
+    q=BLS12_381_Q,
+    r=BLS12_381_R,
+    a=0,
+    b=4,
+    gx=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    gy=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    glv=GLVSpec(
+        beta=793479390729215512621379701633421447060886740281060493010456487427281649075476305620758731620350,
+        # the lattice's eigenvalue: lambda = -u0 = -z^2 mod r (z^2-1 is the
+        # OTHER cube root; phi with the reference's beta realizes this one —
+        # verified against the oracle in tests/test_glv.py)
+        lam=BLS12_381_R - 228988810152649578064853576960394133504,
+        u0=228988810152649578064853576960394133504,
+        u1=1,
+        v0=1,
+        v1=-228988810152649578064853576960394133503,
+    ),
+)
+
+# --------------------------------------------------------------------------
+# BLS12-377 (ZPrize curve; BASELINE.json config 3)
+# --------------------------------------------------------------------------
+
+BLS12_377_Q = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
+BLS12_377_R = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
+
+# BLS parameter z; the GLV lattice for any BLS12 curve is
+# (u0,u1) = (z^2, 1), (v0,v1) = (1, -(z^2-1)), determinant = z^4 - z^2 + 1 = r
+# (matching build_glv.js:16-24 where z_381 = -0xd201000000010000).
+_Z377 = 0x8508C00000000001
+
+
+def _derive_beta(q: int, r: int, lam: int, gx: int, gy: int, b: int) -> int:
+    """Pick the cube root of unity in Fq with (beta*gx, gy) == lam*G.
+
+    Host-side, runs once at import (the analog of the reference's
+    codegen-time constant baking, build_glv.js:13-30).
+    """
+
+    def add(p, s):
+        if p is None:
+            return s
+        if s is None:
+            return p
+        x1, y1 = p
+        x2, y2 = s
+        if x1 == x2:
+            if (y1 + y2) % q == 0:
+                return None
+            lam_ = 3 * x1 * x1 * pow(2 * y1, q - 2, q) % q
+        else:
+            lam_ = (y2 - y1) * pow(x2 - x1, q - 2, q) % q
+        x3 = (lam_ * lam_ - x1 - x2) % q
+        return (x3, (lam_ * (x1 - x3) - y1) % q)
+
+    def mul(p, k):
+        acc = None
+        while k:
+            if k & 1:
+                acc = add(acc, p)
+            p = add(p, p)
+            k >>= 1
+        return acc
+
+    target = mul((gx, gy), lam)
+    beta = pow(2, (q - 1) // 3, q)
+    g = 2
+    while beta == 1:  # 2 happened to be a cube
+        g += 1
+        beta = pow(g, (q - 1) // 3, q)
+    for cand in (beta, beta * beta % q):
+        if (cand * gx % q, gy) == target:
+            return cand
+    raise AssertionError("no consistent cube root found")
+
+
+_LAM377 = (-_Z377 * _Z377) % BLS12_377_R
+_BETA377 = _derive_beta(
+    BLS12_377_Q,
+    BLS12_377_R,
+    _LAM377,
+    0x008848DEFE740A67C8FC6225BF87FF5485951E2CAA9D41BB188282C8BD37CB5CD5481512FFCD394EEAB9B16EB21BE9EF,
+    0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6,
+    1,
+)
+
+bls12_377 = CurveSpec(
+    name="bls12_377",
+    q=BLS12_377_Q,
+    r=BLS12_377_R,
+    a=0,
+    b=1,
+    gx=0x008848DEFE740A67C8FC6225BF87FF5485951E2CAA9D41BB188282C8BD37CB5CD5481512FFCD394EEAB9B16EB21BE9EF,
+    gy=0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6,
+    glv=GLVSpec(
+        beta=_BETA377,
+        lam=_LAM377,
+        u0=_Z377 * _Z377,
+        u1=1,
+        v0=1,
+        v1=-(_Z377 * _Z377 - 1),
+    ),
+)
+
+# --------------------------------------------------------------------------
+# BN254 (the reference's "bn128": src/bn128/build_bn128.js)
+# --------------------------------------------------------------------------
+
+BN254_Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+BN254_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+bn254 = CurveSpec(
+    name="bn254",
+    q=BN254_Q,
+    r=BN254_R,
+    a=0,
+    b=3,
+    gx=1,
+    gy=2,
+    glv=None,  # BN GLV not wired in the reference either (G1-only module)
+)
+
+# --------------------------------------------------------------------------
+# toy curve for fast unit tests (14-bit field, L=4 limbs, ~36x faster
+# compiles than the 381-bit field; exercises the same generic kernels,
+# including the Tonelli-Shanks sqrt path since q ≡ 1 mod 4)
+# --------------------------------------------------------------------------
+
+toy = CurveSpec(
+    name="toy",
+    q=10009,
+    r=3391,  # prime subgroup order; cofactor 3
+    a=0,
+    b=3,
+    gx=164,
+    gy=2415,
+    glv=None,
+)
+
+# MNT6-753 (ref: src/mnt6753/build_mnt6753.js; a != 0, projective curve)
+# is wired in models/mnt6753.py with constants read from the reference's
+# curve assembly; it needs the general-a projective formulas.
+
+CURVES = {
+    "bls12_381": bls12_381,
+    "bls12_377": bls12_377,
+    "bn254": bn254,
+    "bn128": bn254,  # reference alias
+}

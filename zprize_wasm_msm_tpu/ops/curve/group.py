@@ -1,0 +1,374 @@
+"""Branch-free elliptic-curve group ops on limb-vector batches.
+
+TPU-native re-design of the reference's Jacobian a=0 group layer
+(wasmcurves/src/build_curve_jacobian_a0.js: add:541, addMixed:661,
+addAffine:764, double:291, neg, timesScalar via build_timesscalarnaf.js,
+normalize/toAffine:940-1013, batchToAffine:1040).
+
+Design departure (deliberate, see SURVEY.md §7): the reference's Jacobian
+formulas carry data-dependent special cases (P==Q, P==-Q, infinity), which
+on a TPU would force every lane to evaluate both the add and the double
+path plus selects.  Instead we use the *complete* homogeneous projective
+formulas for a=0 curves (Renes–Costello–Batina 2016, Algorithms 7-9):
+exception-free by construction, so every lane executes the identical
+straight-line code — the ideal shape for VPU/XLA.  Infinity is (0:1:0);
+affine zero is encoded as (0,0) exactly like the reference
+(build_curve_jacobian_a0.js isZeroAffine:55).
+
+A point batch is a tuple (X, Y, Z) of uint32 arrays of shape (L, *batch)
+in Montgomery form; affine batches are (X, Y).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import mont
+from ..field.mont import U32
+from .spec import CurveSpec
+
+
+import functools
+
+
+def _curvejit(*static_argnums):
+    """jit with the hashable CurveSpec static (per-curve specialization,
+    the runtime analog of the reference's per-curve codegen)."""
+
+    def deco(fn):
+        return functools.wraps(fn)(jax.jit(fn, static_argnums=static_argnums))
+
+    return deco
+
+
+Point = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+AffinePoint = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _b3(curve: CurveSpec, batch_ndim: int) -> jnp.ndarray:
+    arr = jnp.asarray(curve.b3_mont_limbs, dtype=U32)
+    return arr.reshape(arr.shape + (1,) * batch_ndim)
+
+
+def _mul_many(fq, pairs):
+    """One batched Montgomery multiply for several independent products.
+
+    The complete formulas contain rounds of mutually independent field
+    muls; stacking them into a single (L, k, *batch) multiply keeps the
+    traced graph ~k times smaller (compile time) and gives the VPU wider
+    vectors per op (runtime) than k separate muls.
+    """
+    k = len(pairs)
+    if k == 1:
+        return [mont.mont_mul(fq, pairs[0][0], pairs[0][1])]
+    a = jnp.stack([p[0] for p in pairs], axis=1)
+    b = jnp.stack([p[1] for p in pairs], axis=1)
+    r = mont.mont_mul(fq, a, b)
+    return [r[:, i] for i in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# constructors / predicates
+# ---------------------------------------------------------------------------
+
+
+def zero(curve: CurveSpec, batch_shape=()) -> Point:
+    """The identity (0 : 1 : 0)."""
+    fq = curve.fq
+    return (
+        mont.zeros(fq, batch_shape),
+        mont.one_mont(fq, batch_shape),
+        mont.zeros(fq, batch_shape),
+    )
+
+
+def generator(curve: CurveSpec, batch_shape=()) -> Point:
+    fq = curve.fq
+    gx = mont.full_const(fq, fq.to_mont_int(curve.gx), batch_shape)
+    gy = mont.full_const(fq, fq.to_mont_int(curve.gy), batch_shape)
+    return (gx, gy, mont.one_mont(fq, batch_shape))
+
+
+@_curvejit(0)
+def is_zero(curve: CurveSpec, p: Point) -> jnp.ndarray:
+    return mont.is_zero(curve.fq, p[2])
+
+
+@_curvejit(0)
+def is_zero_affine(curve: CurveSpec, p: AffinePoint) -> jnp.ndarray:
+    """(0,0) encodes the affine identity (ref isZeroAffine:55)."""
+    return mont.is_zero(curve.fq, p[0]) & mont.is_zero(curve.fq, p[1])
+
+
+@_curvejit(0)
+def from_affine(curve: CurveSpec, p: AffinePoint) -> Point:
+    """Affine -> projective; (0,0) -> (0:1:0)."""
+    fq = curve.fq
+    z = is_zero_affine(curve, p)
+    batch = p[0].shape[1:]
+    one = mont.one_mont(fq, batch)
+    zeros = mont.zeros(fq, batch)
+    return (
+        p[0],
+        mont._select(z, one, p[1]),
+        mont._select(z, zeros, one),
+    )
+
+
+@_curvejit(0)
+def eq(curve: CurveSpec, p: Point, q: Point) -> jnp.ndarray:
+    """Projective equality: X1*Z2 == X2*Z1 and Y1*Z2 == Y2*Z1 (+ both-inf)."""
+    fq = curve.fq
+    both_inf = is_zero(curve, p) & is_zero(curve, q)
+    one_inf = is_zero(curve, p) ^ is_zero(curve, q)
+    x_eq = mont.eq(fq, mont.mont_mul(fq, p[0], q[2]), mont.mont_mul(fq, q[0], p[2]))
+    y_eq = mont.eq(fq, mont.mont_mul(fq, p[1], q[2]), mont.mont_mul(fq, q[1], p[2]))
+    return both_inf | (x_eq & y_eq & ~one_inf)
+
+
+# ---------------------------------------------------------------------------
+# complete group law (RCB16 algorithms 7/8/9 for a = 0)
+# ---------------------------------------------------------------------------
+
+
+@_curvejit(0)
+def add(curve: CurveSpec, p: Point, q: Point) -> Point:
+    """Complete projective addition, a=0 (RCB16 alg. 7; 12M).
+
+    Replaces the reference's branchy Jacobian add
+    (build_curve_jacobian_a0.js:541-658) — handles P==Q, P==-Q and
+    infinities with NO special cases.
+    """
+    fq = curve.fq
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    b3 = jnp.broadcast_to(_b3(curve, X1.ndim - 1), X1.shape)
+    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+
+    # round 1: six independent products, one stacked multiply
+    t0, t1, t2, A, B, C = _mul_many(
+        fq,
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (fadd(X1, Y1), fadd(X2, Y2)),
+            (fadd(Y1, Z1), fadd(Y2, Z2)),
+            (fadd(X1, Z1), fadd(X2, Z2)),
+        ],
+    )
+    t3 = fsub(fsub(A, t0), t1)  # X1Y2 + X2Y1
+    t4 = fsub(fsub(B, t1), t2)  # Y1Z2 + Y2Z1
+    Yr = fsub(fsub(C, t0), t2)  # X1Z2 + X2Z1
+    t0_3 = fadd(fadd(t0, t0), t0)
+
+    # round 2: the two b3 products
+    t2b, Yb = _mul_many(fq, [(b3, t2), (b3, Yr)])
+    Z3l = fadd(t1, t2b)
+    t1l = fsub(t1, t2b)
+
+    # round 3: six independent products
+    X3a, t2c, Yc, t1c, t0c, Z3c = _mul_many(
+        fq,
+        [
+            (t4, Yb),
+            (t3, t1l),
+            (Yb, t0_3),
+            (t1l, Z3l),
+            (t0_3, t3),
+            (Z3l, t4),
+        ],
+    )
+    return (fsub(t2c, X3a), fadd(t1c, Yc), fadd(Z3c, t0c))
+
+
+@_curvejit(0)
+def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
+    """Complete projective + affine addition, a=0 (RCB16 alg. 8; 11M).
+
+    Replaces build_curve_jacobian_a0.js addMixed:661.  The affine identity
+    (0,0) cannot be expressed in the complete formula, so it is handled by
+    one select — the only mask in the hot path.
+    """
+    fq = curve.fq
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    b3 = jnp.broadcast_to(_b3(curve, X1.ndim - 1), X1.shape)
+    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+
+    # round 1: six independent products (incl. b3*Z1), one stacked multiply
+    t0, t1, A, t4a, Ya, t2b = _mul_many(
+        fq,
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (fadd(X1, Y1), fadd(X2, Y2)),
+            (Y2, Z1),
+            (X2, Z1),
+            (b3, Z1),
+        ],
+    )
+    t3 = fsub(fsub(A, t0), t1)
+    t4 = fadd(t4a, Y1)
+    Yr = fadd(Ya, X1)
+    t0_3 = fadd(fadd(t0, t0), t0)
+    Z3l = fadd(t1, t2b)
+    t1l = fsub(t1, t2b)
+
+    # round 2
+    (Yb,) = _mul_many(fq, [(b3, Yr)])
+
+    # round 3: six independent products
+    X3a, t2c, Yc, t1c, t0c, Z3c = _mul_many(
+        fq,
+        [
+            (t4, Yb),
+            (t3, t1l),
+            (Yb, t0_3),
+            (t1l, Z3l),
+            (t0_3, t3),
+            (Z3l, t4),
+        ],
+    )
+    X3 = fsub(t2c, X3a)
+    Y3 = fadd(t1c, Yc)
+    Z3 = fadd(Z3c, t0c)
+
+    qz = is_zero_affine(curve, q)
+    return (
+        mont._select(qz, X1, X3),
+        mont._select(qz, Y1, Y3),
+        mont._select(qz, Z1, Z3),
+    )
+
+
+@_curvejit(0)
+def double(curve: CurveSpec, p: Point) -> Point:
+    """Complete projective doubling, a=0 (RCB16 alg. 9; 6M+2S).
+
+    Replaces build_curve_jacobian_a0.js double:291; handles infinity for
+    free ((0:1:0) maps to itself).
+    """
+    fq = curve.fq
+    X, Y, Z = p
+    b3 = jnp.broadcast_to(_b3(curve, X.ndim - 1), X.shape)
+    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+
+    # round 1: four independent products
+    t0, t1, t2, txy = _mul_many(fq, [(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+    Z8 = fadd(t0, t0)
+    Z8 = fadd(Z8, Z8)
+    Z8 = fadd(Z8, Z8)  # 8*Y^2
+
+    # round 2
+    (t2b,) = _mul_many(fq, [(b3, t2)])
+    Y3s = fadd(t0, t2b)
+    t0p = fsub(t0, fadd(fadd(t2b, t2b), t2b))
+
+    # round 3: four independent products
+    X3a, Z3c, Yc, Xc = _mul_many(
+        fq, [(t2b, Z8), (t1, Z8), (t0p, Y3s), (t0p, txy)]
+    )
+    return (fadd(Xc, Xc), fadd(X3a, Yc), Z3c)
+
+
+@_curvejit(0)
+def neg(curve: CurveSpec, p: Point) -> Point:
+    return (p[0], mont.neg(curve.fq, p[1]), p[2])
+
+
+@_curvejit(0)
+def neg_affine(curve: CurveSpec, p: AffinePoint) -> AffinePoint:
+    return (p[0], mont.neg(curve.fq, p[1]))
+
+
+@_curvejit(0)
+def sub(curve: CurveSpec, p: Point, q: Point) -> Point:
+    return add(curve, p, neg(curve, q))
+
+
+def select(mask: jnp.ndarray, p: Point, q: Point) -> Point:
+    """Lane-wise select between two point batches (mask True -> p)."""
+    return tuple(mont._select(mask, a, b) for a, b in zip(p, q))
+
+
+# ---------------------------------------------------------------------------
+# scalar multiplication (ref build_timesscalarnaf.js / timesScalar)
+# ---------------------------------------------------------------------------
+
+
+@_curvejit(0)
+def times_scalar(curve: CurveSpec, p: Point, scalar_limbs: jnp.ndarray) -> Point:
+    """MSB-first double-and-add over a batch.
+
+    scalar_limbs: (Ls, *batch) uint32 16-bit limbs (standard domain).
+    The reference uses a NAF ladder (build_timesscalarnaf.js); with complete
+    formulas a plain ladder is branch-free, and MSM never calls this on the
+    hot path — it exists for API parity and as a differential oracle.
+    """
+    Ls = scalar_limbs.shape[0]
+    batch = scalar_limbs.shape[1:]
+    nbits = Ls * 16
+    acc = zero(curve, p[0].shape[1:])
+
+    def body(acc, bit):
+        acc = double(curve, acc)
+        added = add(curve, acc, p)
+        return select(bit == 1, added, acc), None
+
+    # expand bits MSB-first: limbs are little-endian, so reverse limb order
+    # and walk each limb's bits from 15 down to 0 -> (nbits, *batch)
+    shifts = jnp.asarray(
+        np.arange(15, -1, -1, dtype=np.uint32).reshape((1, 16) + (1,) * len(batch))
+    )
+    bits = (jnp.flip(scalar_limbs, axis=0)[:, None] >> shifts) & 1
+    bits = bits.reshape((nbits,) + batch)
+    acc, _ = jax.lax.scan(body, acc, bits)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# normalization (ref normalize/toAffine:940-1013, batchToAffine:1040)
+# ---------------------------------------------------------------------------
+
+
+@_curvejit(0)
+def to_affine(curve: CurveSpec, p: Point) -> AffinePoint:
+    """Projective -> affine via batched Montgomery inversion of Z.
+
+    Infinity maps to (0,0), matching the reference's encoding.
+    """
+    fq = curve.fq
+    X, Y, Z = p
+    flat = Z.reshape(Z.shape[0], -1)
+    zinv = mont.batch_inverse(fq, flat, axis=-1).reshape(Z.shape)
+    x = mont.mont_mul(fq, X, zinv)
+    y = mont.mont_mul(fq, Y, zinv)
+    inf = mont.is_zero(fq, Z)
+    zl = jnp.zeros_like(x)
+    return (mont._select(inf, zl, x), mont._select(inf, zl, y))
+
+
+@_curvejit(0)
+def in_curve(curve: CurveSpec, p: Point) -> jnp.ndarray:
+    """Y^2*Z == X^3 + b*Z^3 (ref inCurve:1330)."""
+    fq = curve.fq
+    X, Y, Z = p
+    lhs = mont.mont_mul(fq, mont.mont_square(fq, Y), Z)
+    x3 = mont.mont_mul(fq, mont.mont_square(fq, X), X)
+    bz3 = mont.mont_mul(
+        fq,
+        jnp.broadcast_to(
+            jnp.asarray(curve.b_mont_limbs, dtype=U32).reshape(
+                (-1,) + (1,) * (X.ndim - 1)
+            ),
+            X.shape,
+        ),
+        mont.mont_mul(fq, mont.mont_square(fq, Z), Z),
+    )
+    rhs = mont.add(fq, x3, bz3)
+    return mont.eq(fq, lhs, rhs) | is_zero(curve, p)

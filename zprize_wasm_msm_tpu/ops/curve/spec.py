@@ -1,0 +1,86 @@
+"""Curve specialization constants (host-side).
+
+TPU-native analog of the reference's per-curve codegen specialization
+(wasmcurves/src/build_curve_jacobian_a0.js:29 receives prime, b, prefix;
+src/bls12381/build_bls12381.js:22-23 supplies q, r).  A frozen, hashable
+``CurveSpec`` parameterizes every jitted curve/MSM kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..field.spec import FieldSpec, field_spec
+from ...utils.bigint import int_to_limbs
+
+
+@dataclass(frozen=True)
+class GLVSpec:
+    """GLV endomorphism lattice for curves with CM discriminant -3.
+
+    Constants match the reference's codegen-time table
+    (wasmcurves/src/build_glv.js:13-30): beta is the cube root of unity in
+    Fq; (u0,u1), (v0,v1) span the lattice of (a,b) with a + b*lambda = 0
+    mod r; divisor = u0*v1 - ... = r.
+    """
+
+    beta: int  # cube root of unity in Fq (standard domain)
+    lam: int  # lambda: phi(P) = lam * P
+    u0: int
+    u1: int
+    v0: int
+    v1: int  # may be negative
+
+
+@dataclass(frozen=True)
+class CurveSpec:
+    """Short Weierstrass curve y^2 = x^3 + a*x + b over Fq, subgroup order r."""
+
+    name: str
+    q: int
+    r: int
+    a: int
+    b: int
+    gx: int
+    gy: int
+    glv: Optional[GLVSpec] = None
+
+    @cached_property
+    def fq(self) -> FieldSpec:
+        return field_spec(self.q)
+
+    @cached_property
+    def fr(self) -> FieldSpec:
+        return field_spec(self.r)
+
+    # --- Montgomery-domain constants used by the projective formulas ------
+
+    @cached_property
+    def b3_mont_limbs(self) -> np.ndarray:
+        """3*b in Montgomery form (used by the complete a=0 formulas)."""
+        return int_to_limbs(self.fq.to_mont_int(3 * self.b), self.fq.n_limbs)
+
+    @cached_property
+    def b_mont_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.fq.to_mont_int(self.b), self.fq.n_limbs)
+
+    @cached_property
+    def a_mont_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.fq.to_mont_int(self.a), self.fq.n_limbs)
+
+    @cached_property
+    def beta_mont_limbs(self) -> Optional[np.ndarray]:
+        if self.glv is None:
+            return None
+        return int_to_limbs(self.fq.to_mont_int(self.glv.beta), self.fq.n_limbs)
+
+    @cached_property
+    def generator_affine(self) -> Tuple[int, int]:
+        return (self.gx, self.gy)
+
+    def __repr__(self) -> str:
+        return f"CurveSpec({self.name})"
