@@ -72,17 +72,20 @@ def main():
         pts2, s2 = glv_mod.preprocess_endomorphism(bls12_381, (X, Y), sc)
         return pippenger.msm(bls12_381, pts2, s2, c=c, max_bits=max_bits)
 
+    def fetch(res):
+        # force full materialization on host: block_until_ready alone is not
+        # trustworthy through remote-device tunnels
+        return tuple(np.asarray(r) for r in res)
+
     # compile
     t0 = time.time()
-    res = run(X, Y, sc)
-    jax.block_until_ready(res)
+    res = fetch(run(X, Y, sc))
     compile_and_first = time.time() - t0
 
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        res = run(X, Y, sc)
-        jax.block_until_ready(res)
+        res = fetch(run(X, Y, sc))
         times.append(time.time() - t0)
     best = min(times)
     pps = n / best
