@@ -13,8 +13,23 @@ implies a few seconds per 65k-point MSM).
 
 import json
 import os
+import resource
 import sys
 import time
+
+# LLVM can overflow the default 8 MB stack compiling our limb kernels for
+# the CPU fallback path; re-exec once with the raised limit (harmless when
+# running on a real TPU backend).
+if os.environ.get("_ZPTPU_STACK_REEXEC") != "1":
+    try:
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = (1 << 30) if hard == resource.RLIM_INFINITY else min(hard, 1 << 30)
+        if soft != want:  # FINITE: glibc sizes pthread stacks from it
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+            os.environ["_ZPTPU_STACK_REEXEC"] = "1"
+            os.execv(sys.executable, list(sys.orig_argv))
+    except (ValueError, OSError):
+        pass
 
 import numpy as np
 
@@ -27,6 +42,13 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 def main():
     import jax
+
+    # persistent compilation cache: the driver's bench run reuses compiles
+    # from interactive runs (and vice versa), keeping wall-clock dominated
+    # by execution, not XLA.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from zprize_wasm_msm_tpu.models.curves import bls12_381

@@ -78,15 +78,65 @@ def full_const(spec: FieldSpec, value: int, batch_shape=()) -> jnp.ndarray:
     )
 
 
-def _carry_propagate(limbs: List[jnp.ndarray]):
-    """Resolve a redundant limb list to canonical 16-bit limbs + carry-out."""
-    out = []
-    carry = None
-    for x in limbs:
-        s = x if carry is None else x + carry
-        out.append(s & LIMB_MASK)
-        carry = s >> LIMB_BITS
-    return out, carry
+def _ks_resolve(s: jnp.ndarray):
+    """Kogge-Stone carry resolution of an (K, *batch) limb array.
+
+    Input limbs must be < 2^17 (i.e. at most one pending carry bit each).
+    Returns (canonical limbs < 2^16, carry_out in {0,1} of batch shape).
+
+    Log-depth generate/propagate prefix via lax.associative_scan — the
+    branch-free TPU replacement for the reference's serial ripple carries
+    (build_int.js add:186-229); trace size O(log L) instead of O(L).
+    """
+    g = s >> LIMB_BITS  # in {0, 1}
+    p = ((s & LIMB_MASK) == LIMB_MASK).astype(U32)
+
+    def comb(a, b):
+        ga, pa = a
+        gb, pb = b
+        return (gb | (pb & ga), pb & pa)
+
+    gs, _ = jax.lax.associative_scan(comb, (g, p), axis=0)
+    carry_in = jnp.concatenate([jnp.zeros_like(gs[:1]), gs[:-1]], axis=0)
+    out = (s + carry_in) & LIMB_MASK
+    return out, gs[-1]
+
+
+def _resolve(acc: jnp.ndarray):
+    """Resolve a redundant (K, *batch) accumulator (limbs < ~2^26) to
+    canonical 16-bit limbs + carry_out.
+
+    One local carry pass brings every limb below 2^17, then Kogge-Stone
+    finishes.  carry_out collects both the local top carry and the KS one.
+    """
+    c = acc >> LIMB_BITS  # multi-bit carries
+    s = (acc & LIMB_MASK) + jnp.concatenate(
+        [jnp.zeros_like(c[:1]), c[:-1]], axis=0
+    )
+    out, ks_carry = _ks_resolve(s)
+    return out, c[-1] + ks_carry
+
+
+def _add_raw(a: jnp.ndarray, b: jnp.ndarray):
+    """(a + b) over canonical limb arrays; returns (sum limbs, carry_out)."""
+    return _ks_resolve(a + b)
+
+
+def _sub_raw(a: jnp.ndarray, b: jnp.ndarray):
+    """(a - b) mod R over canonical limb arrays; returns (diff, borrow).
+
+    Two's complement: a + ~b + 1; borrow = 1 - carry_out.
+    """
+    s = a + (jnp.asarray(np.uint32(LIMB_MASK)) - b)
+    s = s.at[0].add(1)
+    out, carry = _ks_resolve(s)
+    return out, jnp.asarray(np.uint32(1)) - carry
+
+
+def _const_limb_col(values: np.ndarray, ndim_batch: int) -> jnp.ndarray:
+    """(L,) host constants -> (L, 1, ..., 1) broadcastable device array."""
+    arr = jnp.asarray(values, dtype=U32)
+    return arr.reshape(arr.shape + (1,) * ndim_batch)
 
 
 def _stack(limbs: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -106,65 +156,39 @@ def _select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @_specjit(0)
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod q, operands canonical < q."""
-    L = spec.n_limbs
-    raw = [a[i] + b[i] for i in range(L)]
-    s, _ = _carry_propagate(raw)  # < 2q < R, carry-out 0
+    s, _ = _add_raw(a, b)  # < 2q < R (FieldSpec asserts 2-bit headroom)
     return _cond_sub_q(spec, s)
 
 
-def _cond_sub_q(spec: FieldSpec, s: List[jnp.ndarray]) -> jnp.ndarray:
-    """Given canonical limbs of s < 2q, return s mod q (branch-free).
+def _cond_sub_q(spec: FieldSpec, s: jnp.ndarray) -> jnp.ndarray:
+    """Given canonical limbs of s < 2q, return s mod q (branch-free select,
+    the role of the reference's compare-subtract at build_f1m.js:668-776).
 
-    Adds R - q; carry out of the top limb <=> s >= q (ref conditional
-    subtract at build_f1m.js:668-776, here as a select).
-    """
-    L = spec.n_limbs
-    rmq = (spec.R - spec.q)  # R - q
-    from ...utils.bigint import int_to_limbs
-
-    rmq_limbs = int_to_limbs(rmq, L)
-    nd = s[0].ndim
-    t = [s[i] + jnp.asarray(np.uint32(rmq_limbs[i])) for i in range(L)]
-    t, carry = _carry_propagate(t)
-    ge = carry.astype(jnp.bool_)  # s >= q
-    return _select(ge, _stack(t), _stack(s))
+    Accepts L or L+1 limbs (q is zero-padded to match)."""
+    K = s.shape[0]
+    ql = np.zeros(K, dtype=np.uint32)
+    ql[: spec.n_limbs] = spec.q_limbs
+    qv = _const_limb_col(ql, s.ndim - 1)
+    d, borrow = _sub_raw(s, jnp.broadcast_to(qv, s.shape))
+    return _select(borrow == 0, d, s)
 
 
 @_specjit(0)
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod q, operands canonical < q."""
-    L = spec.n_limbs
-    d = []
-    borrow = None
-    for i in range(L):
-        x = a[i] + jnp.asarray(np.uint32(1 << LIMB_BITS)) - b[i]
-        if borrow is not None:
-            x = x - borrow
-        d.append(x & LIMB_MASK)
-        borrow = jnp.asarray(np.uint32(1)) - (x >> LIMB_BITS)
-    underflow = borrow.astype(jnp.bool_)
-    # if underflow: result = d + q (propagates, no carry-out since result < q)
-    ql = spec.q_limbs
-    t = [d[i] + jnp.asarray(np.uint32(ql[i])) for i in range(L)]
-    t, _ = _carry_propagate(t)
-    return _select(underflow, _stack(t), _stack(d))
+    d, borrow = _sub_raw(a, b)
+    qv = _const_limb_col(spec.q_limbs, a.ndim - 1)
+    t, _ = _add_raw(d, jnp.broadcast_to(qv, d.shape))  # wraps mod R
+    return _select(borrow != 0, t, d)
 
 
 @_specjit(0)
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod q = q - a, with -0 = 0 (ref build_f1m.js neg)."""
     z = is_zero(spec, a)
-    L = spec.n_limbs
-    ql = spec.q_limbs
-    d = []
-    borrow = None
-    for i in range(L):
-        x = jnp.asarray(np.uint32((1 << LIMB_BITS) + int(ql[i]))) - a[i]
-        if borrow is not None:
-            x = x - borrow
-        d.append(x & LIMB_MASK)
-        borrow = jnp.asarray(np.uint32(1)) - (x >> LIMB_BITS)
-    return _select(z, jnp.zeros_like(a), _stack(d))
+    qv = _const_limb_col(spec.q_limbs, a.ndim - 1)
+    d, _ = _sub_raw(jnp.broadcast_to(qv, a.shape), a)
+    return _select(z, jnp.zeros_like(a), d)
 
 
 @_specjit(0)
@@ -177,97 +201,73 @@ def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _mont_mul_ssa(spec: FieldSpec, a, b):
-    """Core Montgomery product on SSA per-limb accumulators.
+def _mont_reduce_acc(spec: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-reduce a redundant (2L+2, *batch) product accumulator.
 
-    a, b: length-L lists (or indexable arrays) of batch-shaped uint32 limbs.
-    Every accumulator is its own small tensor (never a (2L+1, batch) array),
-    so XLA fuses the whole multiply into one elementwise kernel — no
-    dynamic-update-slice materialization (the (2L, N) `.at[]` form measured
-    HBM-bound at ~6.6M muls/s on v5e; this form is compute-bound).
-
-    Overflow discipline: acc[k] accumulates lo/hi halves (< 2^16) of 16x16
-    products.  Position k receives at most 2*(L+1) halves from the product
-    phase plus 2*(L+1) from the reduction phase plus carries — bounded by
-    ~4(L+2)*2^16 < 2^32 for L <= 1000.  Safe for every supported prime.
+    Word-serial reduction (the 16-bit-limb analog of the reference's CIOS,
+    build_f1m.js:466-777): L rounds, each clearing one low limb with a
+    vectorized m*q row update — trace size O(L), work O(L^2 * batch).
     """
     L = spec.n_limbs
     np16 = np.uint32(spec.np16)
-    ql = [np.uint32(int(x)) for x in spec.q_limbs]
-    zero = jnp.zeros_like(a[0] + b[0])
-    acc = [zero] * (2 * L + 1)
-
-    # --- product phase: acc[k] = sum_{i+j=k} lo/hi halves -----------------
+    qv = _const_limb_col(spec.q_limbs, acc.ndim - 1)  # (L, 1...)
     for i in range(L):
-        ai = a[i]
-        for j in range(L):
-            p = ai * b[j]  # exact 16x16 -> 32
-            acc[i + j] = acc[i + j] + (p & LIMB_MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
-
-    # --- reduction phase: clear limbs 0..L-1 ------------------------------
-    for i in range(L):
+        # m depends on acc[i] mod 2^16 only; the u32 wraparound of the
+        # product preserves the low 16 bits, so no pre-masking is needed.
         m = (acc[i] * np16) & LIMB_MASK
-        for j in range(L):
-            p = m * ql[j]
-            acc[i + j] = acc[i + j] + (p & LIMB_MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
-        # acc[i] now ≡ 0 mod 2^16; push its carry and retire it
-        acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
-
-    # --- normalize limbs L..2L; value < 2q --------------------------------
-    res, _ = _carry_propagate(acc[L:])
-    # res has L+1 limbs; top limb must be 0 after propagation (< 2q < R)
-    return _cond_sub_q(spec, res[:L])
+        p = m[None] * qv  # (L, batch)
+        acc = acc.at[i : i + L].add(p & LIMB_MASK)
+        acc = acc.at[i + 1 : i + L + 1].add(p >> LIMB_BITS)
+        # acc[i] is now ≡ 0 mod 2^16; push its carry and retire it
+        acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
+    res, _ = _resolve(acc[L : 2 * L + 1])  # value < 2q -> L+1 limbs, top in {0,1}
+    return _cond_sub_q(spec, res)[:L]
 
 
 @_specjit(0)
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod q.  Operands canonical < q.
 
-    Schoolbook product with redundant uint32 accumulation followed by a
-    word-serial Montgomery reduction — the 16-bit-limb VPU equivalent of the
-    reference's 32-bit-word CIOS (build_f1m.js:466-777).
+    Row-vectorized schoolbook product with redundant uint32 accumulation
+    followed by a word-serial Montgomery reduction — the 16-bit-limb VPU
+    equivalent of the reference's 32-bit-word CIOS (build_f1m.js:466-777).
+    Each of the 2L trace-time rounds is a vector op over the full (L, batch)
+    plane, so the traced graph is O(L) (it was O(L^2) when fully unrolled:
+    106 s to compile ONE group add on CPU; this form is ~40x smaller).
+
+    Overflow discipline: acc[k] collects <= 2L lo/hi halves (< 2^16) from
+    the product phase plus <= 2L from reduction plus carries — below
+    2^16 * 4L + 2^8, safe in uint32 for L <= 512.
     """
     L = spec.n_limbs
-    return _mont_mul_ssa(spec, [a[i] for i in range(L)], [b[i] for i in range(L)])
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((2 * L + 2,) + batch, dtype=U32)
+    for i in range(L):
+        p = a[i][None] * b  # (L, batch), exact 16x16 -> 32
+        acc = acc.at[i : i + L].add(p & LIMB_MASK)
+        acc = acc.at[i + 1 : i + L + 1].add(p >> LIMB_BITS)
+    return _mont_reduce_acc(spec, acc)
 
 
 @_specjit(0)
 def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery squaring.  Uses the asymmetric-doubling trick
     (ref build_f1m.js:779-1076): off-diagonal products counted once and
-    doubled, halving the multiply count vs mont_mul.
+    doubled, nearly halving the multiply count vs mont_mul.
     """
     L = spec.n_limbs
-    np16 = np.uint32(spec.np16)
-    ql = [np.uint32(int(x)) for x in spec.q_limbs]
-    one = np.uint32(1)
-    zero = jnp.zeros_like(a[0])
-    acc = [zero] * (2 * L + 1)
-
+    batch = a.shape[1:]
+    acc = jnp.zeros((2 * L + 2,) + batch, dtype=U32)
     for i in range(L):
-        ai = a[i]
-        # diagonal term
-        p = ai * ai
-        acc[2 * i] = acc[2 * i] + (p & LIMB_MASK)
-        acc[2 * i + 1] = acc[2 * i + 1] + (p >> LIMB_BITS)
-        # off-diagonal, doubled.  lo/hi < 2^16 so doubling stays < 2^17.
-        for j in range(i + 1, L):
-            p = ai * a[j]
-            acc[i + j] = acc[i + j] + ((p & LIMB_MASK) << one)
-            acc[i + j + 1] = acc[i + j + 1] + ((p >> LIMB_BITS) << one)
-
-    for i in range(L):
-        m = (acc[i] * np16) & LIMB_MASK
-        for j in range(L):
-            p = m * ql[j]
-            acc[i + j] = acc[i + j] + (p & LIMB_MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
-        acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
-
-    res, _ = _carry_propagate(acc[L:])
-    return _cond_sub_q(spec, res[:L])
+        p = a[i][None] * a[i:]  # (L-i, batch): diagonal + upper triangle
+        lo = p & LIMB_MASK
+        hi = p >> LIMB_BITS
+        if L - i > 1:  # double the off-diagonal terms (stay < 2^17)
+            lo = jnp.concatenate([lo[:1], lo[1:] << 1], axis=0)
+            hi = jnp.concatenate([hi[:1], hi[1:] << 1], axis=0)
+        acc = acc.at[2 * i : i + L].add(lo)
+        acc = acc.at[2 * i + 1 : i + L + 1].add(hi)
+    return _mont_reduce_acc(spec, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -430,41 +430,70 @@ def _tonelli_shanks(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Elementwise inverse of a batch with ONE field inversion.
 
-    Parallel prefix/suffix products via lax.associative_scan (mont_mul is
-    associative), then a single Fermat inversion of the total — the
-    O(log n)-depth TPU shape of the reference's two sequential passes
-    (build_batchinverse.js:43-127).  Zeros pass through as 0.
+    Blocked Montgomery's trick (ref build_batchinverse.js:43-127): the batch
+    is reshaped into ~sqrt(n) blocks of ~sqrt(n) elements; forward prefix
+    products run vectorized across blocks (lax.scan over the block length),
+    block totals chain serially, one Fermat inversion of the grand total,
+    then the mirrored backward passes emit every inverse.  2*(M+K) serial
+    steps instead of the reference's 2n.  Zeros pass through as 0.
+
+    ``axis`` is accepted for API parity; every element is inverted
+    independently so the scan order is irrelevant to the result.
     """
-    if axis < 0:
-        axis = a.ndim + axis
-    assert axis != 0, "axis 0 is the limb axis"
+    del axis  # result is order-independent
+    L = spec.n_limbs
     z = is_zero(spec, a)
-    ones = one_mont(spec, a.shape[1:])
-    a1 = _select(z, ones, a)
+    a1 = _select(z, one_mont(spec, a.shape[1:]), a)
 
-    # move scan axis to position 1
-    a_s = jnp.moveaxis(a1, axis, 1)
+    batch_shape = a.shape[1:]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    M = max(1, 1 << ((n.bit_length() + 1) // 2))  # block length ~ sqrt(n)
+    K = -(-n // M)  # number of blocks
+    flat = a1.reshape(L, n)
+    pad = M * K - n
+    if pad:
+        flat = jnp.concatenate([flat, one_mont(spec, (pad,))], axis=1)
+    x = flat.reshape(L, K, M)
+    xm = jnp.moveaxis(x, 2, 0)  # (M, L, K): scan over block position
 
-    def comb(x, y):
-        return mont_mul(spec, x, y)
+    ones_lk = one_mont(spec, (K,))
 
-    prefix = jax.lax.associative_scan(comb, a_s, axis=1)  # inclusive
-    total = prefix[:, -1]
-    inv_total = inverse(spec, total)
+    # forward within-block inclusive prefixes P[m] and block totals
+    def fwd(carry, row):
+        p = mont_mul(spec, carry, row)
+        return p, p
 
-    # suffix products S_i = a_i * ... * a_{n-1}, inclusive, reversed scan
-    suffix = jax.lax.associative_scan(comb, jnp.flip(a_s, axis=1), axis=1)
-    suffix = jnp.flip(suffix, axis=1)
+    tot, P = jax.lax.scan(fwd, ones_lk, xm)  # tot (L,K); P (M,L,K)
 
-    n = a_s.shape[1]
-    # inv(a_i) = prefix_{i-1} * suffix_{i+1} * inv_total
-    pre_shift = jnp.concatenate(
-        [one_mont(spec, (1,) + total.shape[1:]), prefix[:, :-1]], axis=1
+    # block-level exclusive prefixes B[k] (serial over K, width-1 muls)
+    def blk_fwd(carry, tk):
+        return mont_mul(spec, carry, tk), carry
+
+    grand, B = jax.lax.scan(blk_fwd, one_mont(spec, ()), jnp.moveaxis(tot, 1, 0))
+    B = jnp.moveaxis(B, 1, 0)  # (L, K)
+
+    inv_grand = inverse(spec, grand)
+
+    # block-level backward: I[k] = inv(B[k] * tot[k]), emitted pre-multiply
+    def blk_bwd(carry, tk):
+        return mont_mul(spec, carry, tk), carry
+
+    _, I = jax.lax.scan(
+        blk_bwd, inv_grand, jnp.moveaxis(tot, 1, 0), reverse=True
     )
-    suf_shift = jnp.concatenate(
-        [suffix[:, 1:], one_mont(spec, (1,) + total.shape[1:])], axis=1
-    )
-    outer = mont_mul(spec, pre_shift, suf_shift)
-    inv = mont_mul(spec, outer, inv_total[:, None])
-    inv = jnp.moveaxis(inv, 1, axis)
+    I = jnp.moveaxis(I, 1, 0)  # (L, K)
+
+    # within-block backward: invFP[m] = inv(B[k] * P[m,k])
+    def bwd(carry, row):
+        return mont_mul(spec, carry, row), carry
+
+    _, invFP = jax.lax.scan(bwd, I, xm, reverse=True)  # (M, L, K)
+
+    # inv(a[m,k]) = B[k] * P[m-1,k] * invFP[m,k]   (limb axis first: (L, M, K))
+    P_exc = jnp.moveaxis(jnp.concatenate([ones_lk[None], P[:-1]], axis=0), 1, 0)
+    fp_prev = mont_mul(spec, P_exc, B[:, None, :])
+    inv = mont_mul(spec, fp_prev, jnp.moveaxis(invFP, 1, 0))  # (L, M, K)
+
+    inv = jnp.moveaxis(inv, 1, 2).reshape(L, K * M)[:, :n]
+    inv = inv.reshape((L,) + batch_shape)
     return _select(z, jnp.zeros_like(a), inv)

@@ -200,8 +200,9 @@ def window_fold(curve: CurveSpec, window_sums, c: int):
             jax.lax.dynamic_index_in_dim(a, w, axis=1, keepdims=False)
             for a in (sx, sy, sz)
         )
-        for _ in range(c):
-            acc = group.double(curve, acc)
+        acc = jax.lax.fori_loop(
+            0, c, lambda _, p: group.double(curve, p), acc
+        )
         return group.add(curve, acc, cur)
 
     # first (top) window without the leading doublings

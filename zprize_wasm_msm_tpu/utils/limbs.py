@@ -16,11 +16,16 @@ from .bigint import int_to_limbs, limbs_to_int
 
 
 def ints_to_limbs(values: Sequence[int], n_limbs: int) -> np.ndarray:
-    """(N,) python ints -> (L, N) uint32 limb array."""
-    out = np.empty((n_limbs, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        out[:, j] = int_to_limbs(v, n_limbs)
-    return out
+    """(N,) python ints -> (L, N) uint32 limb array.
+
+    Serializes through int.to_bytes + np.frombuffer (C speed) instead of a
+    per-limb python loop — the difference between seconds and minutes when
+    marshalling 2^20-point benches.
+    """
+    nbytes = n_limbs * 2
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    a = np.frombuffer(buf, dtype="<u2").reshape(len(values), n_limbs)
+    return np.ascontiguousarray(a.T).astype(np.uint32)
 
 
 def limbs_to_ints(arr) -> List[int]:
@@ -28,8 +33,14 @@ def limbs_to_ints(arr) -> List[int]:
     a = np.asarray(arr)
     if a.ndim == 1:
         return [limbs_to_int(a)]
-    flat = a.reshape(a.shape[0], -1)
-    return [limbs_to_int(flat[:, j]) for j in range(flat.shape[1])]
+    flat = a.reshape(a.shape[0], -1).T  # (N, L)
+    le = flat.astype("<u2", casting="unsafe")
+    raw = le.tobytes()
+    nbytes = le.shape[1] * 2
+    return [
+        int.from_bytes(raw[j * nbytes : (j + 1) * nbytes], "little")
+        for j in range(le.shape[0])
+    ]
 
 
 def int_to_limbvec(value: int, n_limbs: int) -> np.ndarray:
