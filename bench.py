@@ -89,10 +89,14 @@ def main():
 
     c = int(WINDOW) if WINDOW else None
     max_bits = glv_mod.HALF_LIMBS * 16
+    impl = os.environ.get("BENCH_IMPL", "auto")
 
+    @jax.jit
     def run(X, Y, sc):
         pts2, s2 = glv_mod.preprocess_endomorphism(bls12_381, (X, Y), sc)
-        return pippenger.msm(bls12_381, pts2, s2, c=c, max_bits=max_bits)
+        return pippenger.msm(
+            bls12_381, pts2, s2, c=c, max_bits=max_bits, impl=impl
+        )
 
     def fetch(res):
         # force full materialization on host: block_until_ready alone is not

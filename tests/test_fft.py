@@ -1,0 +1,75 @@
+"""FFT/NTT tests vs the O(n^2) DFT oracle (mirrors wasmcurves/test/fft.js)."""
+
+import numpy as np
+import pytest
+
+from zprize_wasm_msm_tpu.models.curves import bls12_381, toy_fft
+from zprize_wasm_msm_tpu.ops.poly import fft as fft_mod
+from zprize_wasm_msm_tpu.oracle import ntt, Curve as OracleCurve
+from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs, limbs_to_ints
+
+
+def to_dev_fr(spec, vals):
+    import jax.numpy as jnp
+
+    return jnp.asarray(ints_to_limbs([spec.to_mont_int(v) for v in vals], spec.n_limbs))
+
+
+def from_dev_fr(spec, arr):
+    return [spec.from_mont_int(v) for v in limbs_to_ints(np.asarray(arr))]
+
+
+@pytest.mark.parametrize("n", [1, 2, 8, 32])
+def test_fft_matches_dft_oracle(n, rng):
+    spec = bls12_381.fr
+    vals = [int(rng.integers(0, 1 << 62)) for _ in range(n)]
+    x = to_dev_fr(spec, vals)
+    got = from_dev_fr(spec, fft_mod.fft(spec, x))
+    if n == 1:
+        assert got == [v % spec.q for v in vals]
+        return
+    root = fft_mod._root_of_unity(spec.q, n)
+    want = ntt(vals, spec.q, root)
+    assert got == want
+
+
+def test_ifft_roundtrip(rng):
+    spec = bls12_381.fr
+    n = 16
+    vals = [int(rng.integers(0, 1 << 62)) for _ in range(n)]
+    x = to_dev_fr(spec, vals)
+    back = from_dev_fr(spec, fft_mod.ifft(spec, fft_mod.fft(spec, x)))
+    assert back == [v % spec.q for v in vals]
+
+
+def test_group_fft_commutes_with_encrypt():
+    """FFT(k_i * G) == NTT(k) * G (ref test/fft.js:34-74 'multiplicative
+    homomorphism' of the group FFT), on the toy curve."""
+    import jax.numpy as jnp
+
+    from zprize_wasm_msm_tpu.ops.curve import group
+
+    curve = toy_fft
+    fr = curve.fr
+    n = 8
+    rng = np.random.default_rng(7)
+    ks = [int(rng.integers(1, curve.r)) for _ in range(n)]
+    oc = OracleCurve(q=curve.q, a=curve.a, b=curve.b, r=curve.r, gx=curve.gx, gy=curve.gy)
+
+    # device: FFT over points k_i * G
+    G = group.generator(curve, (n,))
+    sc = jnp.asarray(ints_to_limbs(ks, fr.n_limbs))
+    pts = group.times_scalar(curve, G, sc)
+    got_pts = fft_mod.group_fft(curve, pts)
+    ax, ay = group.to_affine(curve, got_pts)
+    F = curve.field
+    got = [
+        None if (x == 0 and y == 0) else (x, y)
+        for x, y in zip(F.to_host(ax), F.to_host(ay))
+    ]
+
+    # oracle: NTT of scalars, then multiply G
+    root = fft_mod._root_of_unity(fr.q, n)
+    want_k = ntt(ks, fr.q, root)
+    want = [oc.mul(oc.g, k) for k in want_k]
+    assert got == want

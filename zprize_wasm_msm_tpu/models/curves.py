@@ -43,6 +43,32 @@ bls12_381 = CurveSpec(
 )
 
 # --------------------------------------------------------------------------
+# BLS12-381 G2: the twist y^2 = x^3 + 4(1+u) over Fq2 = Fq[u]/(u^2+1)
+# (ref: build_bls12381.js:47-53 instantiates g2m over f2m; the reference's
+# optimized MSM is G1-hardcoded — SURVEY.md §2.3 wart — fixed here by the
+# generic field-backend design)
+# --------------------------------------------------------------------------
+
+bls12_381_g2 = CurveSpec(
+    name="bls12_381_g2",
+    q=BLS12_381_Q,
+    r=BLS12_381_R,
+    a=0,
+    b=(4, 4),
+    gx=(
+        0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+        0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+    ),
+    gy=(
+        0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+        0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+    ),
+    glv=None,
+    ext=2,
+    nr=-1,
+)
+
+# --------------------------------------------------------------------------
 # BLS12-377 (ZPrize curve; BASELINE.json config 3)
 # --------------------------------------------------------------------------
 
@@ -145,6 +171,29 @@ bn254 = CurveSpec(
     glv=None,  # BN GLV not wired in the reference either (G1-only module)
 )
 
+# BN254 G2: twist y^2 = x^3 + 3/(9+u) over Fq2 = Fq[u]/(u^2+1)
+bn254_g2 = CurveSpec(
+    name="bn254_g2",
+    q=BN254_Q,
+    r=BN254_R,
+    a=0,
+    b=(
+        19485874751759354771024239261021720505790618469301721065564631296452457478373,
+        266929791119991161246907387137283842545076965332900288569378510910307636690,
+    ),
+    gx=(
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    gy=(
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+    glv=None,
+    ext=2,
+    nr=-1,
+)
+
 # --------------------------------------------------------------------------
 # toy curve for fast unit tests (14-bit field, L=4 limbs, ~36x faster
 # compiles than the 381-bit field; exercises the same generic kernels,
@@ -162,13 +211,28 @@ toy = CurveSpec(
     glv=None,
 )
 
+# FFT-friendly toy: r - 1 = 2^7 * 21, so Fr has 2-adicity 7 (group/scalar
+# FFTs up to size 128); same generic kernels, 13-bit field.
+toy_fft = CurveSpec(
+    name="toy_fft",
+    q=8089,
+    r=2689,  # prime subgroup order; cofactor 3
+    a=0,
+    b=4,
+    gx=3149,
+    gy=3923,
+    glv=None,
+)
+
 # MNT6-753 (ref: src/mnt6753/build_mnt6753.js; a != 0, projective curve)
 # is wired in models/mnt6753.py with constants read from the reference's
 # curve assembly; it needs the general-a projective formulas.
 
 CURVES = {
     "bls12_381": bls12_381,
+    "bls12_381_g2": bls12_381_g2,
     "bls12_377": bls12_377,
     "bn254": bn254,
+    "bn254_g2": bn254_g2,
     "bn128": bn254,  # reference alias
 }

@@ -15,24 +15,24 @@ straight-line code — the ideal shape for VPU/XLA.  Infinity is (0:1:0);
 affine zero is encoded as (0,0) exactly like the reference
 (build_curve_jacobian_a0.js isZeroAffine:55).
 
-A point batch is a tuple (X, Y, Z) of uint32 arrays of shape (L, *batch)
-in Montgomery form; affine batches are (X, Y).
+Generic over the coordinate field: every op goes through the curve's
+field backend (ops.field.tower), so the SAME code implements G1 (Fq) and
+G2 (Fq2) — the role of the reference's field-prefix parameterization
+(build_curve_jacobian_a0.js:29 `prefixField`; G2 instantiation at
+build_bls12381.js:47-53).
+
+A point batch is a tuple (X, Y, Z) of uint32 arrays of shape (EL, *batch)
+in Montgomery form (EL = field.elem_len); affine batches are (X, Y).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..field import mont
-from ..field.mont import U32
-from .spec import CurveSpec
-
-
-import functools
 
 
 def _curvejit(*static_argnums):
@@ -45,30 +45,10 @@ def _curvejit(*static_argnums):
     return deco
 
 
+from .spec import CurveSpec
+
 Point = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 AffinePoint = Tuple[jnp.ndarray, jnp.ndarray]
-
-
-def _b3(curve: CurveSpec, batch_ndim: int) -> jnp.ndarray:
-    arr = jnp.asarray(curve.b3_mont_limbs, dtype=U32)
-    return arr.reshape(arr.shape + (1,) * batch_ndim)
-
-
-def _mul_many(fq, pairs):
-    """One batched Montgomery multiply for several independent products.
-
-    The complete formulas contain rounds of mutually independent field
-    muls; stacking them into a single (L, k, *batch) multiply keeps the
-    traced graph ~k times smaller (compile time) and gives the VPU wider
-    vectors per op (runtime) than k separate muls.
-    """
-    k = len(pairs)
-    if k == 1:
-        return [mont.mont_mul(fq, pairs[0][0], pairs[0][1])]
-    a = jnp.stack([p[0] for p in pairs], axis=1)
-    b = jnp.stack([p[1] for p in pairs], axis=1)
-    r = mont.mont_mul(fq, a, b)
-    return [r[:, i] for i in range(k)]
 
 
 # ---------------------------------------------------------------------------
@@ -78,55 +58,50 @@ def _mul_many(fq, pairs):
 
 def zero(curve: CurveSpec, batch_shape=()) -> Point:
     """The identity (0 : 1 : 0)."""
-    fq = curve.fq
-    return (
-        mont.zeros(fq, batch_shape),
-        mont.one_mont(fq, batch_shape),
-        mont.zeros(fq, batch_shape),
-    )
+    F = curve.field
+    return (F.zeros(batch_shape), F.one(batch_shape), F.zeros(batch_shape))
 
 
 def generator(curve: CurveSpec, batch_shape=()) -> Point:
-    fq = curve.fq
-    gx = mont.full_const(fq, fq.to_mont_int(curve.gx), batch_shape)
-    gy = mont.full_const(fq, fq.to_mont_int(curve.gy), batch_shape)
-    return (gx, gy, mont.one_mont(fq, batch_shape))
+    F = curve.field
+    return (
+        F.const(curve.gx, batch_shape),
+        F.const(curve.gy, batch_shape),
+        F.one(batch_shape),
+    )
 
 
 @_curvejit(0)
 def is_zero(curve: CurveSpec, p: Point) -> jnp.ndarray:
-    return mont.is_zero(curve.fq, p[2])
+    return curve.field.is_zero(p[2])
 
 
 @_curvejit(0)
 def is_zero_affine(curve: CurveSpec, p: AffinePoint) -> jnp.ndarray:
     """(0,0) encodes the affine identity (ref isZeroAffine:55)."""
-    return mont.is_zero(curve.fq, p[0]) & mont.is_zero(curve.fq, p[1])
+    F = curve.field
+    return F.is_zero(p[0]) & F.is_zero(p[1])
 
 
 @_curvejit(0)
 def from_affine(curve: CurveSpec, p: AffinePoint) -> Point:
     """Affine -> projective; (0,0) -> (0:1:0)."""
-    fq = curve.fq
+    F = curve.field
     z = is_zero_affine(curve, p)
-    batch = p[0].shape[1:]
-    one = mont.one_mont(fq, batch)
-    zeros = mont.zeros(fq, batch)
-    return (
-        p[0],
-        mont._select(z, one, p[1]),
-        mont._select(z, zeros, one),
-    )
+    batch = F.batch_shape(p[0])
+    one = F.one(batch)
+    zeros = F.zeros(batch)
+    return (p[0], F.select(z, one, p[1]), F.select(z, zeros, one))
 
 
 @_curvejit(0)
 def eq(curve: CurveSpec, p: Point, q: Point) -> jnp.ndarray:
     """Projective equality: X1*Z2 == X2*Z1 and Y1*Z2 == Y2*Z1 (+ both-inf)."""
-    fq = curve.fq
+    F = curve.field
     both_inf = is_zero(curve, p) & is_zero(curve, q)
     one_inf = is_zero(curve, p) ^ is_zero(curve, q)
-    x_eq = mont.eq(fq, mont.mont_mul(fq, p[0], q[2]), mont.mont_mul(fq, q[0], p[2]))
-    y_eq = mont.eq(fq, mont.mont_mul(fq, p[1], q[2]), mont.mont_mul(fq, q[1], p[2]))
+    x_eq = F.eq(F.mul(p[0], q[2]), F.mul(q[0], p[2]))
+    y_eq = F.eq(F.mul(p[1], q[2]), F.mul(q[1], p[2]))
     return both_inf | (x_eq & y_eq & ~one_inf)
 
 
@@ -143,15 +118,15 @@ def add(curve: CurveSpec, p: Point, q: Point) -> Point:
     (build_curve_jacobian_a0.js:541-658) — handles P==Q, P==-Q and
     infinities with NO special cases.
     """
-    fq = curve.fq
+    F = curve.field
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    b3 = jnp.broadcast_to(_b3(curve, X1.ndim - 1), X1.shape)
-    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+    batch = F.batch_shape(X1)
+    b3 = F.const(curve.b3, batch)
+    fadd, fsub = F.add, F.sub
 
     # round 1: six independent products, one stacked multiply
-    t0, t1, t2, A, B, C = _mul_many(
-        fq,
+    t0, t1, t2, A, B, C = F.mul_many(
         [
             (X1, X2),
             (Y1, Y2),
@@ -159,7 +134,7 @@ def add(curve: CurveSpec, p: Point, q: Point) -> Point:
             (fadd(X1, Y1), fadd(X2, Y2)),
             (fadd(Y1, Z1), fadd(Y2, Z2)),
             (fadd(X1, Z1), fadd(X2, Z2)),
-        ],
+        ]
     )
     t3 = fsub(fsub(A, t0), t1)  # X1Y2 + X2Y1
     t4 = fsub(fsub(B, t1), t2)  # Y1Z2 + Y2Z1
@@ -167,13 +142,12 @@ def add(curve: CurveSpec, p: Point, q: Point) -> Point:
     t0_3 = fadd(fadd(t0, t0), t0)
 
     # round 2: the two b3 products
-    t2b, Yb = _mul_many(fq, [(b3, t2), (b3, Yr)])
+    t2b, Yb = F.mul_many([(b3, t2), (b3, Yr)])
     Z3l = fadd(t1, t2b)
     t1l = fsub(t1, t2b)
 
     # round 3: six independent products
-    X3a, t2c, Yc, t1c, t0c, Z3c = _mul_many(
-        fq,
+    X3a, t2c, Yc, t1c, t0c, Z3c = F.mul_many(
         [
             (t4, Yb),
             (t3, t1l),
@@ -181,7 +155,7 @@ def add(curve: CurveSpec, p: Point, q: Point) -> Point:
             (t1l, Z3l),
             (t0_3, t3),
             (Z3l, t4),
-        ],
+        ]
     )
     return (fsub(t2c, X3a), fadd(t1c, Yc), fadd(Z3c, t0c))
 
@@ -194,15 +168,15 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
     (0,0) cannot be expressed in the complete formula, so it is handled by
     one select — the only mask in the hot path.
     """
-    fq = curve.fq
+    F = curve.field
     X1, Y1, Z1 = p
     X2, Y2 = q
-    b3 = jnp.broadcast_to(_b3(curve, X1.ndim - 1), X1.shape)
-    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+    batch = F.batch_shape(X1)
+    b3 = F.const(curve.b3, batch)
+    fadd, fsub = F.add, F.sub
 
     # round 1: six independent products (incl. b3*Z1), one stacked multiply
-    t0, t1, A, t4a, Ya, t2b = _mul_many(
-        fq,
+    t0, t1, A, t4a, Ya, t2b = F.mul_many(
         [
             (X1, X2),
             (Y1, Y2),
@@ -210,7 +184,7 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
             (Y2, Z1),
             (X2, Z1),
             (b3, Z1),
-        ],
+        ]
     )
     t3 = fsub(fsub(A, t0), t1)
     t4 = fadd(t4a, Y1)
@@ -220,11 +194,10 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
     t1l = fsub(t1, t2b)
 
     # round 2
-    (Yb,) = _mul_many(fq, [(b3, Yr)])
+    (Yb,) = F.mul_many([(b3, Yr)])
 
     # round 3: six independent products
-    X3a, t2c, Yc, t1c, t0c, Z3c = _mul_many(
-        fq,
+    X3a, t2c, Yc, t1c, t0c, Z3c = F.mul_many(
         [
             (t4, Yb),
             (t3, t1l),
@@ -232,7 +205,7 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
             (t1l, Z3l),
             (t0_3, t3),
             (Z3l, t4),
-        ],
+        ]
     )
     X3 = fsub(t2c, X3a)
     Y3 = fadd(t1c, Yc)
@@ -240,9 +213,9 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
 
     qz = is_zero_affine(curve, q)
     return (
-        mont._select(qz, X1, X3),
-        mont._select(qz, Y1, Y3),
-        mont._select(qz, Z1, Z3),
+        F.select(qz, X1, X3),
+        F.select(qz, Y1, Y3),
+        F.select(qz, Z1, Z3),
     )
 
 
@@ -253,37 +226,38 @@ def double(curve: CurveSpec, p: Point) -> Point:
     Replaces build_curve_jacobian_a0.js double:291; handles infinity for
     free ((0:1:0) maps to itself).
     """
-    fq = curve.fq
+    F = curve.field
     X, Y, Z = p
-    b3 = jnp.broadcast_to(_b3(curve, X.ndim - 1), X.shape)
-    fadd, fsub = (lambda a, b: mont.add(fq, a, b)), (lambda a, b: mont.sub(fq, a, b))
+    batch = F.batch_shape(X)
+    b3 = F.const(curve.b3, batch)
+    fadd, fsub = F.add, F.sub
 
     # round 1: four independent products
-    t0, t1, t2, txy = _mul_many(fq, [(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+    t0, t1, t2, txy = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
     Z8 = fadd(t0, t0)
     Z8 = fadd(Z8, Z8)
     Z8 = fadd(Z8, Z8)  # 8*Y^2
 
     # round 2
-    (t2b,) = _mul_many(fq, [(b3, t2)])
+    (t2b,) = F.mul_many([(b3, t2)])
     Y3s = fadd(t0, t2b)
     t0p = fsub(t0, fadd(fadd(t2b, t2b), t2b))
 
     # round 3: four independent products
-    X3a, Z3c, Yc, Xc = _mul_many(
-        fq, [(t2b, Z8), (t1, Z8), (t0p, Y3s), (t0p, txy)]
+    X3a, Z3c, Yc, Xc = F.mul_many(
+        [(t2b, Z8), (t1, Z8), (t0p, Y3s), (t0p, txy)]
     )
     return (fadd(Xc, Xc), fadd(X3a, Yc), Z3c)
 
 
 @_curvejit(0)
 def neg(curve: CurveSpec, p: Point) -> Point:
-    return (p[0], mont.neg(curve.fq, p[1]), p[2])
+    return (p[0], curve.field.neg(p[1]), p[2])
 
 
 @_curvejit(0)
 def neg_affine(curve: CurveSpec, p: AffinePoint) -> AffinePoint:
-    return (p[0], mont.neg(curve.fq, p[1]))
+    return (p[0], curve.field.neg(p[1]))
 
 
 @_curvejit(0)
@@ -293,7 +267,7 @@ def sub(curve: CurveSpec, p: Point, q: Point) -> Point:
 
 def select(mask: jnp.ndarray, p: Point, q: Point) -> Point:
     """Lane-wise select between two point batches (mask True -> p)."""
-    return tuple(mont._select(mask, a, b) for a, b in zip(p, q))
+    return tuple(jnp.where(mask[None], a, b) for a, b in zip(p, q))
 
 
 # ---------------------------------------------------------------------------
@@ -310,10 +284,11 @@ def times_scalar(curve: CurveSpec, p: Point, scalar_limbs: jnp.ndarray) -> Point
     formulas a plain ladder is branch-free, and MSM never calls this on the
     hot path — it exists for API parity and as a differential oracle.
     """
+    F = curve.field
     Ls = scalar_limbs.shape[0]
     batch = scalar_limbs.shape[1:]
     nbits = Ls * 16
-    acc = zero(curve, p[0].shape[1:])
+    acc = zero(curve, F.batch_shape(p[0]))
 
     def body(acc, bit):
         acc = double(curve, acc)
@@ -342,33 +317,25 @@ def to_affine(curve: CurveSpec, p: Point) -> AffinePoint:
 
     Infinity maps to (0,0), matching the reference's encoding.
     """
-    fq = curve.fq
+    F = curve.field
     X, Y, Z = p
-    flat = Z.reshape(Z.shape[0], -1)
-    zinv = mont.batch_inverse(fq, flat, axis=-1).reshape(Z.shape)
-    x = mont.mont_mul(fq, X, zinv)
-    y = mont.mont_mul(fq, Y, zinv)
-    inf = mont.is_zero(fq, Z)
+    zinv = F.batch_inverse(Z)
+    x = F.mul(X, zinv)
+    y = F.mul(Y, zinv)
+    inf = F.is_zero(Z)
     zl = jnp.zeros_like(x)
-    return (mont._select(inf, zl, x), mont._select(inf, zl, y))
+    return (F.select(inf, zl, x), F.select(inf, zl, y))
 
 
 @_curvejit(0)
 def in_curve(curve: CurveSpec, p: Point) -> jnp.ndarray:
-    """Y^2*Z == X^3 + b*Z^3 (ref inCurve:1330)."""
-    fq = curve.fq
+    """Y^2*Z == X^3 + b*Z^3 (ref inCurve:1330; a=0 curves)."""
+    F = curve.field
     X, Y, Z = p
-    lhs = mont.mont_mul(fq, mont.mont_square(fq, Y), Z)
-    x3 = mont.mont_mul(fq, mont.mont_square(fq, X), X)
-    bz3 = mont.mont_mul(
-        fq,
-        jnp.broadcast_to(
-            jnp.asarray(curve.b_mont_limbs, dtype=U32).reshape(
-                (-1,) + (1,) * (X.ndim - 1)
-            ),
-            X.shape,
-        ),
-        mont.mont_mul(fq, mont.mont_square(fq, Z), Z),
-    )
-    rhs = mont.add(fq, x3, bz3)
-    return mont.eq(fq, lhs, rhs) | is_zero(curve, p)
+    batch = F.batch_shape(X)
+    b = F.const(curve.b, batch)
+    lhs = F.mul(F.square(Y) if hasattr(F, "square") else F.mul(Y, Y), Z)
+    x3 = F.mul(F.mul(X, X), X)
+    bz3 = F.mul(b, F.mul(F.mul(Z, Z), Z))
+    rhs = F.add(x3, bz3)
+    return F.eq(lhs, rhs) | is_zero(curve, p)

@@ -1,0 +1,123 @@
+"""Kernel-internal group ops: complete-formula curve arithmetic for Pallas.
+
+Mirrors ops.curve.group (RCB16 complete projective formulas for a=0;
+reference lineage wasmcurves/src/build_curve_jacobian_a0.js addMixed:661,
+add:541, double:291) but on stacked kernel values with a shared VMEM
+multiply accumulator.  Bit-identical to the jnp path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import kcore
+from .spec import CurveSpec
+
+
+def kzero_point(curve: CurveSpec, batch_shape):
+    """The identity (0 : 1 : 0) as stacked kernel values."""
+    fq = curve.fq
+    zeros = kcore.kconst(fq, [0] * fq.n_limbs, batch_shape)
+    one = kcore.kconst(fq, fq.one_mont_limbs, batch_shape)
+    return (zeros, one, jnp.array(zeros))
+
+
+def kadd_mixed(curve: CurveSpec, acc_ref, p, q):
+    """Complete projective + affine addition (RCB16 alg. 8, a=0; 11M).
+
+    p: (X1, Y1, Z1) stacked values; q: (X2, Y2) affine, (0,0) = identity.
+    acc_ref: (2L+2, *batch) VMEM scratch for the sequential multiplies.
+    """
+    fq = curve.fq
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    batch = X1.shape[1:]
+    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
+    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
+    fadd = lambda a, b: kcore.kadd(fq, a, b)
+    fsub = lambda a, b: kcore.ksub(fq, a, b)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    A = mul(fadd(X1, Y1), fadd(X2, Y2))
+    t4 = fadd(mul(Y2, Z1), Y1)
+    Yr = fadd(mul(X2, Z1), X1)
+    t2b = mul(b3, Z1)
+
+    t3 = fsub(fsub(A, t0), t1)
+    t0_3 = fadd(fadd(t0, t0), t0)
+    Z3l = fadd(t1, t2b)
+    t1l = fsub(t1, t2b)
+    Yb = mul(b3, Yr)
+
+    X3 = fsub(mul(t3, t1l), mul(t4, Yb))
+    Y3 = fadd(mul(t1l, Z3l), mul(Yb, t0_3))
+    Z3 = fadd(mul(Z3l, t4), mul(t0_3, t3))
+
+    qz = kcore.kis_zero(fq, X2) & kcore.kis_zero(fq, Y2)
+    return (
+        kcore.kselect(qz, X1, X3),
+        kcore.kselect(qz, Y1, Y3),
+        kcore.kselect(qz, Z1, Z3),
+    )
+
+
+def kadd(curve: CurveSpec, acc_ref, p, q):
+    """Complete projective addition (RCB16 alg. 7, a=0; 12M)."""
+    fq = curve.fq
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    batch = X1.shape[1:]
+    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
+    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
+    fadd = lambda a, b: kcore.kadd(fq, a, b)
+    fsub = lambda a, b: kcore.ksub(fq, a, b)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    A = mul(fadd(X1, Y1), fadd(X2, Y2))
+    B = mul(fadd(Y1, Z1), fadd(Y2, Z2))
+    C = mul(fadd(X1, Z1), fadd(X2, Z2))
+
+    t3 = fsub(fsub(A, t0), t1)
+    t4 = fsub(fsub(B, t1), t2)
+    Yr = fsub(fsub(C, t0), t2)
+    t0_3 = fadd(fadd(t0, t0), t0)
+    t2b = mul(b3, t2)
+    Yb = mul(b3, Yr)
+    Z3l = fadd(t1, t2b)
+    t1l = fsub(t1, t2b)
+
+    X3 = fsub(mul(t3, t1l), mul(t4, Yb))
+    Y3 = fadd(mul(t1l, Z3l), mul(Yb, t0_3))
+    Z3 = fadd(mul(Z3l, t4), mul(t0_3, t3))
+    return (X3, Y3, Z3)
+
+
+def kdouble(curve: CurveSpec, acc_ref, p):
+    """Complete projective doubling (RCB16 alg. 9, a=0; 6M+2S)."""
+    fq = curve.fq
+    X, Y, Z = p
+    batch = X.shape[1:]
+    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
+    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
+    fadd = lambda a, b: kcore.kadd(fq, a, b)
+    fsub = lambda a, b: kcore.ksub(fq, a, b)
+
+    t0 = mul(Y, Y)
+    t1 = mul(Y, Z)
+    t2 = mul(Z, Z)
+    txy = mul(X, Y)
+    Z8 = fadd(t0, t0)
+    Z8 = fadd(Z8, Z8)
+    Z8 = fadd(Z8, Z8)
+    t2b = mul(b3, t2)
+    Y3s = fadd(t0, t2b)
+    t0p = fsub(t0, fadd(fadd(t2b, t2b), t2b))
+    Xc = mul(t0p, txy)
+    X3 = fadd(Xc, Xc)
+    Y3 = fadd(mul(t2b, Z8), mul(t0p, Y3s))
+    Z3 = mul(t1, Z8)
+    return (X3, Y3, Z3)

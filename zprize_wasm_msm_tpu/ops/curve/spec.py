@@ -38,16 +38,25 @@ class GLVSpec:
 
 @dataclass(frozen=True)
 class CurveSpec:
-    """Short Weierstrass curve y^2 = x^3 + a*x + b over Fq, subgroup order r."""
+    """Short Weierstrass curve y^2 = x^3 + a*x + b over Fq (or an extension
+    of it), subgroup order r.
+
+    ext=1: coordinates in Fq, b/gx/gy plain ints.
+    ext=2: coordinates in Fq2 = Fq[u]/(u^2 - nr) (the reference's G2 over
+    f2m, wasmcurves/src/bls12381/build_bls12381.js:47-53); b/gx/gy are
+    2-tuples (c0, c1).
+    """
 
     name: str
     q: int
     r: int
     a: int
-    b: int
-    gx: int
-    gy: int
+    b: Tuple[int, ...]  # int for ext=1, (c0, c1) for ext=2
+    gx: Tuple[int, ...]
+    gy: Tuple[int, ...]
     glv: Optional[GLVSpec] = None
+    ext: int = 1
+    nr: int = -1  # extension non-residue (u^2 = nr), ext >= 2 only
 
     @cached_property
     def fq(self) -> FieldSpec:
@@ -56,6 +65,23 @@ class CurveSpec:
     @cached_property
     def fr(self) -> FieldSpec:
         return field_spec(self.r)
+
+    @cached_property
+    def field(self):
+        """The coordinate-field backend (ops.field.tower)."""
+        from ..field import tower
+
+        if self.ext == 1:
+            return tower.Fq(self.fq)
+        assert self.ext == 2, f"unsupported extension degree {self.ext}"
+        return tower.Fq2(self.fq, self.nr)
+
+    @cached_property
+    def b3(self):
+        """3*b as a coordinate-field host constant (for the RCB16 formulas)."""
+        if isinstance(self.b, int):
+            return 3 * self.b % self.q
+        return tuple(3 * c % self.q for c in self.b)
 
     # --- Montgomery-domain constants used by the projective formulas ------
 

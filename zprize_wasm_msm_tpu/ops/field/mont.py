@@ -270,6 +270,33 @@ def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return _mont_reduce_acc(spec, acc)
 
 
+@_specjit(0)
+def reduce_redundant(spec: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
+    """Reduce a redundant multi-limb accumulator to a canonical element.
+
+    acc: (K, *batch) uint32 with K >= L; limbs may hold up to ~2^26 (e.g.
+    the raw u32 sum of up to 2^10 canonical elements).  Interpreting acc in
+    the SAME domain as its summands (so: Montgomery in, Montgomery out),
+    returns acc mod q as canonical (L, *batch) limbs.
+
+    Used by the sparse linear-combination kernels (ops.poly.pol/qap): a
+    segment/scatter sum runs in raw u32, then ONE modular reduction per
+    output replaces per-term modular adds.
+    """
+    L = spec.n_limbs
+    K = acc.shape[0]
+    assert K <= 2 * L, "accumulator wider than 2L limbs"
+    # pad to 2L+2 and Montgomery-reduce -> value * R^{-1} mod q
+    pad = 2 * L + 2 - K
+    wide = jnp.concatenate(
+        [acc] + ([jnp.zeros((pad,) + acc.shape[1:], U32)] if pad else []), axis=0
+    )
+    reduced = _mont_reduce_acc(spec, wide)  # acc * R^{-1} mod q
+    # multiply back by R (mont_mul by R^2 gives acc mod q)
+    r2 = jnp.broadcast_to(_const(spec.r2_limbs, reduced.ndim - 1), reduced.shape)
+    return mont_mul(spec, reduced, r2)
+
+
 # ---------------------------------------------------------------------------
 # domain conversion
 # ---------------------------------------------------------------------------
@@ -315,6 +342,28 @@ def eq(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     for i in range(1, spec.n_limbs):
         acc = acc | (a[i] ^ b[i])
     return acc == 0
+
+
+@_specjit(0)
+def sign(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Sign convention of build_f1m.js sign:135: 0 for zero, -1 if the
+    standard-domain value is > (q-1)/2, else +1.  a is Montgomery."""
+    std = from_mont(spec, a)
+    half_plus1 = (spec.q - 1) // 2 + 1
+    from ...utils.bigint import int_to_limbs
+
+    hv = _const_limb_col(int_to_limbs(half_plus1, spec.n_limbs), a.ndim - 1)
+    _, borrow = _sub_raw(std, jnp.broadcast_to(hv, std.shape))
+    is_neg = borrow == 0  # std >= (q+1)/2
+    z = is_zero(spec, a)
+    out = jnp.where(is_neg, jnp.int32(-1), jnp.int32(1))
+    return jnp.where(z, jnp.int32(0), out)
+
+
+@_specjit(0)
+def is_negative(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """build_f1m.js isNegative:120 — True iff sign == -1."""
+    return sign(spec, a) == -1
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,297 @@
+"""Field tower backends: a uniform op surface over Fq and Fq2.
+
+TPU-native analog of the reference's field-prefix parameterization: the
+curve builder takes a field *prefix* ("f1m" or "f2m") and emits calls to
+that field's exported ops (wasmcurves/src/build_curve_jacobian_a0.js:29
+`prefixField` arg; quadratic extension in src/build_f2m.js — mul:153,
+square:212, inverse:379, conjugate:115).  Here a frozen backend object
+carries the same specialization so ONE generic group/MSM layer serves G1
+(over Fq) and G2 (over Fq2).
+
+Element layouts (all Montgomery form):
+  Fq:   (L, *batch) uint32 — as ops.field.mont.
+  Fq2:  (2L, *batch) uint32 — flat: component 0 in limbs [:L], component 1
+        in [L:], so generic shape logic downstream (padding, reshapes,
+        bucket layouts) treats extension elements as wider base elements.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import mont
+from .mont import U32
+from .spec import FieldSpec
+
+IntLike = Union[int, Tuple[int, int]]
+
+
+@dataclass(frozen=True)
+class Fq:
+    """Base prime field backend (delegates to ops.field.mont)."""
+
+    spec: FieldSpec
+
+    #: leading element axes before the batch (limb axis only)
+    elem_ndim = 1
+
+    @property
+    def elem_len(self) -> int:
+        return self.spec.n_limbs
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def zeros(self, batch_shape=()):
+        return mont.zeros(self.spec, batch_shape)
+
+    def one(self, batch_shape=()):
+        return mont.one_mont(self.spec, batch_shape)
+
+    def const(self, value: IntLike, batch_shape=()):
+        """Host int (standard domain) -> Montgomery element batch."""
+        assert isinstance(value, int)
+        return mont.full_const(
+            self.spec, self.spec.to_mont_int(value), batch_shape
+        )
+
+    def add(self, a, b):
+        return mont.add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return mont.sub(self.spec, a, b)
+
+    def neg(self, a):
+        return mont.neg(self.spec, a)
+
+    def mul(self, a, b):
+        return mont.mont_mul(self.spec, a, b)
+
+    def mul_many(self, pairs):
+        """One stacked multiply for independent products (see group._mul_many)."""
+        k = len(pairs)
+        if k == 1:
+            return [self.mul(*pairs[0])]
+        a = jnp.stack([p[0] for p in pairs], axis=1)
+        b = jnp.stack([p[1] for p in pairs], axis=1)
+        r = mont.mont_mul(self.spec, a, b)
+        return [r[:, i] for i in range(k)]
+
+    def square(self, a):
+        return mont.mont_square(self.spec, a)
+
+    def inverse(self, a):
+        return mont.inverse(self.spec, a)
+
+    def batch_inverse(self, a):
+        return mont.batch_inverse(self.spec, a)
+
+    def is_zero(self, a):
+        return mont.is_zero(self.spec, a)
+
+    def eq(self, a, b):
+        return mont.eq(self.spec, a, b)
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None], a, b)
+
+    def sqrt(self, a):
+        return mont.sqrt(self.spec, a)
+
+    # host-side marshalling ------------------------------------------------
+    def to_host(self, a) -> list:
+        from ...utils.limbs import limbs_to_ints
+
+        vals = limbs_to_ints(np.asarray(a))
+        return [self.spec.from_mont_int(v) for v in vals]
+
+
+@dataclass(frozen=True)
+class Fq2:
+    """Quadratic extension Fq[u]/(u^2 - nr) (ref src/build_f2m.js).
+
+    For BLS12-381 and BN254, nr = -1 (u^2 + 1 = 0).
+
+    Flat element layout: (2L, *batch) uint32 — component 0 in limbs [:L],
+    component 1 in limbs [L:].  The flat leading axis lets every generic
+    shape computation downstream (padding, reshapes, bucket layouts in
+    ops.msm) treat extension elements exactly like wider base elements.
+    """
+
+    spec: FieldSpec  # the base field
+    nr: int  # non-residue, as a signed small int (e.g. -1)
+
+    elem_ndim = 1
+
+    @property
+    def elem_len(self) -> int:
+        return 2 * self.spec.n_limbs
+
+    @cached_property
+    def _nr_is_m1(self) -> bool:
+        return self.nr % self.spec.q == self.spec.q - 1
+
+    @cached_property
+    def _nr_mont_limbs(self):
+        from ...utils.bigint import int_to_limbs
+
+        return int_to_limbs(
+            self.spec.to_mont_int(self.nr % self.spec.q), self.spec.n_limbs
+        )
+
+    def _split(self, a):
+        L = self.spec.n_limbs
+        return a[:L], a[L:]
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def zeros(self, batch_shape=()):
+        return jnp.zeros((self.elem_len,) + tuple(batch_shape), U32)
+
+    def one(self, batch_shape=()):
+        return jnp.concatenate(
+            [mont.one_mont(self.spec, batch_shape), mont.zeros(self.spec, batch_shape)]
+        )
+
+    def const(self, value: IntLike, batch_shape=()):
+        if isinstance(value, int):
+            value = (value, 0)
+        return jnp.concatenate(
+            [
+                mont.full_const(self.spec, self.spec.to_mont_int(v), batch_shape)
+                for v in value
+            ]
+        )
+
+    def _mul_nr(self, a):
+        """Multiply a base-field batch by the non-residue."""
+        if self._nr_is_m1:
+            return mont.neg(self.spec, a)
+        c = jnp.asarray(self._nr_mont_limbs, U32).reshape(
+            (self.spec.n_limbs,) + (1,) * (a.ndim - 1)
+        )
+        return mont.mont_mul(self.spec, a, jnp.broadcast_to(c, a.shape))
+
+    def add(self, a, b):
+        # componentwise; the base op vectorizes over the stacked limb axis
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return jnp.concatenate(
+            [mont.add(self.spec, a0, b0), mont.add(self.spec, a1, b1)]
+        )
+
+    def sub(self, a, b):
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return jnp.concatenate(
+            [mont.sub(self.spec, a0, b0), mont.sub(self.spec, a1, b1)]
+        )
+
+    def neg(self, a):
+        a0, a1 = self._split(a)
+        return jnp.concatenate(
+            [mont.neg(self.spec, a0), mont.neg(self.spec, a1)]
+        )
+
+    def conjugate(self, a):
+        """(a0, a1) -> (a0, -a1) (ref build_f2m.js conjugate:115)."""
+        a0, a1 = self._split(a)
+        return jnp.concatenate([a0, mont.neg(self.spec, a1)])
+
+    def mul(self, a, b):
+        """Karatsuba: 3 base muls (ref build_f2m.js mul:153)."""
+        s = self.spec
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        m0, m1, m2 = Fq(s).mul_many(
+            [
+                (a0, b0),
+                (a1, b1),
+                (mont.add(s, a0, a1), mont.add(s, b0, b1)),
+            ]
+        )
+        c0 = mont.add(s, m0, self._mul_nr(m1))
+        c1 = mont.sub(s, mont.sub(s, m2, m0), m1)
+        return jnp.concatenate([c0, c1])
+
+    def mul_many(self, pairs):
+        k = len(pairs)
+        if k == 1:
+            return [self.mul(*pairs[0])]
+        a = jnp.stack([p[0] for p in pairs], axis=1)
+        b = jnp.stack([p[1] for p in pairs], axis=1)
+        r = self.mul(a, b)
+        return [r[:, i] for i in range(k)]
+
+    def square(self, a):
+        """Complex squaring (2 base muls, ref build_f2m.js square:212)."""
+        s = self.spec
+        a0, a1 = self._split(a)
+        if self._nr_is_m1:
+            p, q = Fq(s).mul_many(
+                [
+                    (mont.add(s, a0, a1), mont.sub(s, a0, a1)),
+                    (a0, a1),
+                ]
+            )
+            return jnp.concatenate([p, mont.add(s, q, q)])
+        return self.mul(a, a)
+
+    def norm(self, a):
+        """a0^2 - nr*a1^2 (base-field batch)."""
+        s = self.spec
+        a0, a1 = self._split(a)
+        sq0, sq1 = Fq(s).mul_many([(a0, a0), (a1, a1)])
+        return mont.sub(s, sq0, self._mul_nr(sq1))
+
+    def inverse(self, a):
+        """conj(a) / norm(a) (ref build_f2m.js inverse:379)."""
+        s = self.spec
+        a0, a1 = self._split(a)
+        ninv = mont.inverse(s, self.norm(a))
+        return jnp.concatenate(
+            [
+                mont.mont_mul(s, a0, ninv),
+                mont.neg(s, mont.mont_mul(s, a1, ninv)),
+            ]
+        )
+
+    def batch_inverse(self, a):
+        s = self.spec
+        a0, a1 = self._split(a)
+        ninv = mont.batch_inverse(s, self.norm(a))
+        return jnp.concatenate(
+            [
+                mont.mont_mul(s, a0, ninv),
+                mont.neg(s, mont.mont_mul(s, a1, ninv)),
+            ]
+        )
+
+    def is_zero(self, a):
+        a0, a1 = self._split(a)
+        return mont.is_zero(self.spec, a0) & mont.is_zero(self.spec, a1)
+
+    def eq(self, a, b):
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return mont.eq(self.spec, a0, b0) & mont.eq(self.spec, a1, b1)
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None], a, b)
+
+    def to_host(self, a) -> list:
+        from ...utils.limbs import limbs_to_ints
+
+        a = np.asarray(a)
+        a0, a1 = self._split(a)
+        c0 = limbs_to_ints(a0)
+        c1 = limbs_to_ints(a1)
+        f = self.spec.from_mont_int
+        return [(f(x), f(y)) for x, y in zip(c0, c1)]
+

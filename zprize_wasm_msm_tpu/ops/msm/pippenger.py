@@ -77,8 +77,8 @@ def _bucket_accumulate_impl(curve, points, digits, lanes, c):
     N/T-step sweep the lane axis is tree-reduced.
     Returns bucket sums (X, Y, Z), each (L, W, B), B = 2^(c-1).
     """
-    fq = curve.fq
-    L = fq.n_limbs
+    F = curve.field
+    L = F.elem_len
     X, Y = points
     W, N = digits.shape
     T = lanes
@@ -107,10 +107,10 @@ def _bucket_accumulate_impl(curve, points, digits, lanes, c):
         # zero digits -> add_mixed's identity passthrough skips them
         pxw = jnp.broadcast_to(px[:, None, :], (L, W, T))
         pyw = jnp.broadcast_to(py[:, None, :], (L, W, T))
-        neg_y = mont.neg(fq, pyw)
-        y_eff = mont._select(neg, neg_y, pyw)
-        x_eff = mont._select(is_zero, jnp.zeros_like(pxw), pxw)
-        y_eff = mont._select(is_zero, jnp.zeros_like(pyw), y_eff)
+        neg_y = F.neg(pyw)
+        y_eff = F.select(neg, neg_y, pyw)
+        x_eff = F.select(is_zero, jnp.zeros_like(pxw), pxw)
+        y_eff = F.select(is_zero, jnp.zeros_like(pyw), y_eff)
         # gather the target bucket of each (w, t)
         idx_g = idx[None, :, :, None]  # (1,W,T,1)
         cur = tuple(
@@ -127,15 +127,33 @@ def _bucket_accumulate_impl(curve, points, digits, lanes, c):
         return out
 
     buckets = jax.lax.fori_loop(0, steps, body, zero_pt)
+    return _lane_tree_reduce(curve, buckets)
 
-    # tree-reduce the lane axis: (L, W, T, B) -> (L, W, B)
+
+def _flat_add(curve, p1, p2):
+    """group.add with batch dims flattened to ONE axis around the call.
+
+    The TPU XLA backend's fusion cost model CHECK-fails (fusion_util.cc
+    TransformWindow) on our multiply accumulator when the batch is >2-D;
+    2-D limb tensors compile and run fine, so flatten around every add.
+    """
+    shp = p1[0].shape
+    L = shp[0]
+    f1 = tuple(a.reshape(L, -1) for a in p1)
+    f2 = tuple(a.reshape(L, -1) for a in p2)
+    s = group.add(curve, f1, f2)
+    return tuple(a.reshape(shp) for a in s)
+
+
+def _lane_tree_reduce(curve, buckets):
+    """Tree-reduce the lane axis: (L, W, T, B) -> (L, W, B)."""
     bx, by, bz = buckets
-    t = T
+    t = bx.shape[2]
     while t > 1:
         half = t // 2
         p1 = (bx[:, :, :half], by[:, :, :half], bz[:, :, :half])
         p2 = (bx[:, :, half : 2 * half], by[:, :, half : 2 * half], bz[:, :, half : 2 * half])
-        s = group.add(curve, p1, p2)
+        s = _flat_add(curve, p1, p2)
         if t % 2:  # odd tail: carry the last lane through
             bx = jnp.concatenate([s[0], bx[:, :, -1:]], axis=2)
             by = jnp.concatenate([s[1], by[:, :, -1:]], axis=2)
@@ -211,6 +229,17 @@ def window_fold(curve: CurveSpec, window_sums, c: int):
     return acc
 
 
+def _default_impl() -> str:
+    import os
+
+    if os.environ.get("ZPTPU_MSM_IMPL") in ("pallas", "xla"):
+        return os.environ["ZPTPU_MSM_IMPL"]
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def msm(
     curve: CurveSpec,
     points: Tuple[jnp.ndarray, jnp.ndarray],
@@ -219,28 +248,55 @@ def msm(
     max_bits: Optional[int] = None,
     lanes: Optional[int] = None,
     mem_budget_bytes: int = 2 << 30,
+    impl: str = "auto",
 ):
     """Multi-scalar multiplication (the reference's g1m_multiexp_multiExp,
     build_multiexp_opt.js:1987-2110).
 
     points:  affine (X, Y), each (L, N), Montgomery form.
     scalars: (Ls, N) uint32 16-bit limbs, standard (non-Montgomery) domain.
+    impl:    "pallas" (TPU kernel, small-c VMEM-resident buckets),
+             "xla" (pure-jnp private-bucket scatter), or "auto"
+             (pallas on TPU backends, xla elsewhere).
     Returns a projective point (X, Y, Z), Montgomery form.
     """
+    from . import pl_bucket
+
     X, Y = points
     N = X.shape[1]
     Ls = scalars.shape[0]
+    if impl == "auto":
+        impl = _default_impl()
     if max_bits is None:
         max_bits = Ls * 16
+
+    if impl == "pallas":
+        # small-c regime: buckets must fit VMEM (see pl_bucket docstring)
+        if c is None:
+            c = 4
+        assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
+        assert curve.ext == 1, "pallas bucket kernel is base-field only; use impl='xla' for G2"
+        W = windows.num_windows(max_bits, c)
+        T = lanes if lanes is not None else 128
+        while T > 8 and pl_bucket.vmem_bytes(curve, W, T, c) > 14 << 20:
+            T //= 2
+        digits = windows.signed_window_digits(scalars, c, max_bits)
+        buckets4 = pl_bucket.bucket_accumulate(
+            curve, (X, Y), digits, lanes=T, c=c
+        )
+        buckets = _lane_tree_reduce_jit(curve, buckets4)
+        per_window = bucket_reduce(curve, buckets)
+        return window_fold(curve, per_window, c)
+
     if c is None:
         c = windows.default_window_size(N, max_bits, mem_budget_bytes)
     W = windows.num_windows(max_bits, c)
     if lanes is None:
-        lanes = _lane_count(N, c, W, mem_budget_bytes, curve.fq.n_limbs)
+        lanes = _lane_count(N, c, W, mem_budget_bytes, curve.field.elem_len)
     # pad N to a multiple of lanes with zero scalars/points
     pad = (-N) % lanes
     if pad:
-        zf = jnp.zeros((curve.fq.n_limbs, pad), dtype=U32)
+        zf = jnp.zeros((curve.field.elem_len, pad), dtype=U32)
         X = jnp.concatenate([X, zf], axis=1)
         Y = jnp.concatenate([Y, zf], axis=1)
         scalars = jnp.concatenate(
@@ -250,3 +306,6 @@ def msm(
     buckets = bucket_accumulate_c(curve, (X, Y), digits, lanes, c)
     per_window = bucket_reduce(curve, buckets)
     return window_fold(curve, per_window, c)
+
+
+_lane_tree_reduce_jit = jax.jit(_lane_tree_reduce, static_argnums=(0,))

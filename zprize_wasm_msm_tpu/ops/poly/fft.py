@@ -1,0 +1,185 @@
+"""Radix-2 FFT/NTT over Fr (and over group elements), TPU-native.
+
+Re-design of the reference's FFT layer (wasmcurves/src/build_fft.js —
+_rawfft:247, __reversePermutation:518, __fftFinal:396, inverse + scaling;
+generic over "G acted on by Fr" via opGtimesF, wired for frm/g1m/g2m at
+build_bls12381.js:43,80-86).
+
+TPU shape: iterative decimation-in-frequency butterflies over a dense
+(L, N) Montgomery batch — each stage is ONE vectorized mul/add/sub over
+the whole array (no pointer walks), followed by a single bit-reversal
+gather (the reference's __reversePermutation, done as one jnp.take).
+Twiddle tables are host-precomputed per (N, root) — the analog of the
+reference's codegen-time root tables (build_fft.js constructor).
+
+All Fr values are Montgomery-form limb vectors ((L, N) uint32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import group
+from ..curve.spec import CurveSpec
+from ..field import mont
+from ..field.mont import U32
+from ..field.spec import FieldSpec
+from ...utils.bigint import mod_inv
+from ...utils.limbs import ints_to_limbs
+
+
+@functools.lru_cache(maxsize=None)
+def _root_of_unity(r: int, n: int) -> int:
+    """Primitive n-th root of unity in Fr (n a power of two)."""
+    assert (r - 1) % n == 0, f"no {n}-th root of unity mod {r}"
+    # smallest generator of the 2-Sylow subgroup, as the reference bakes in
+    g = 2
+    while pow(g, (r - 1) // 2, r) == 1:
+        g += 1
+    return pow(g, (r - 1) // n, r)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(spec_q: int, n_limbs: int, n: int, inverse: bool):
+    """(L, n//2) Montgomery twiddles w^0..w^(n/2-1), host-precomputed."""
+    r = spec_q
+    w = _root_of_unity(r, n)
+    if inverse:
+        w = mod_inv(w, r)
+    R = 1 << (16 * n_limbs)
+    vals, cur = [], 1
+    for _ in range(n // 2):
+        vals.append(cur * R % r)
+        cur = cur * w % r
+    return np.asarray(ints_to_limbs(vals, n_limbs))
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def _fft_stages(spec: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray):
+    """DIF butterfly stages; output bit-reversed order.  x: (L, N)."""
+    L, N = x.shape
+    stages = N.bit_length() - 1
+    for s in range(stages):
+        m = N >> s  # block size this stage
+        blocks = N // m
+        xv = x.reshape(L, blocks, m)
+        a = xv[:, :, : m // 2]
+        b = xv[:, :, m // 2 :]
+        top = mont.add(spec, a, b)
+        diff = mont.sub(spec, a, b)
+        # twiddles w^(j * blocks), j = 0..m/2-1  == strided slice of table
+        twd = tw[:, :: blocks]  # (L, m//2)
+        bot = mont.mont_mul(spec, diff, twd[:, None, :])
+        x = jnp.concatenate([top, bot], axis=2).reshape(L, N)
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fft(spec: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT over Fr: (L, N) Montgomery batch -> (L, N), natural order.
+
+    inverse=True gives the unscaled inverse; ifft() applies the 1/N scale
+    (ref __fftFinal:396).
+    """
+    L, N = x.shape
+    assert N & (N - 1) == 0, "FFT size must be a power of two"
+    if N == 1:
+        return x
+    tw = jnp.asarray(_twiddle_table(spec.q, spec.n_limbs, N, inverse))
+    y = _fft_stages(spec, x, tw)
+    perm = jnp.asarray(_bitrev_perm(N))
+    return jnp.take(y, perm, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ifft(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT with 1/N scaling (ref build_fft.js ifft + __fftFinal)."""
+    L, N = x.shape
+    y = fft(spec, x, inverse=True)
+    n_inv = spec.to_mont_int(mod_inv(N, spec.q))
+    c = jnp.asarray(ints_to_limbs([n_inv], spec.n_limbs))
+    return mont.mont_mul(spec, y, jnp.broadcast_to(c, y.shape))
+
+
+# ---------------------------------------------------------------------------
+# group-valued FFT (ref: opGtimesF instantiation for g1m/g2m,
+# build_bls12381.js:80-86) — butterflies over curve points, twiddle action
+# is full scalar multiplication
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def group_fft(curve: CurveSpec, p, inverse: bool = False):
+    """FFT over group elements: p = (X, Y, Z) each (EL, N) projective.
+
+    The Fr twiddle acts by scalar multiplication (the reference's
+    opGtimesF), so each stage costs one batched times_scalar — this is the
+    same O(N log N * |Fr|) the reference pays.
+    """
+    fr = curve.fr
+    X, _, _ = p
+    N = X.shape[1]
+    assert N & (N - 1) == 0
+    if N == 1:
+        return p
+    stages = N.bit_length() - 1
+    r = fr.q
+    w = _root_of_unity(r, N)
+    if inverse:
+        w = mod_inv(w, r)
+    # standard-domain twiddle exponents as scalar limb table (host)
+    vals, cur = [], 1
+    for _ in range(N // 2):
+        vals.append(cur)
+        cur = cur * w % r
+    tw = jnp.asarray(ints_to_limbs(vals, fr.n_limbs))  # (Ls, N/2)
+
+    x = p
+    EL = X.shape[0]
+    for s in range(stages):
+        m = N >> s
+        blocks = N // m
+        xv = tuple(a.reshape(EL, blocks, m) for a in x)
+        a = tuple(v[:, :, : m // 2] for v in xv)
+        b = tuple(v[:, :, m // 2 :] for v in xv)
+        top = group.add(curve, a, b)
+        diff = group.sub(curve, a, b)
+        twd = tw[:, :: blocks]  # (Ls, m//2)
+        flat = tuple(v.reshape(EL, blocks * (m // 2)) for v in diff)
+        ks = jnp.tile(twd[:, None, :], (1, blocks, 1)).reshape(-1, blocks * (m // 2))
+        bot = group.times_scalar(curve, flat, ks)
+        bot = tuple(v.reshape(EL, blocks, m // 2) for v in bot)
+        x = tuple(
+            jnp.concatenate([t, bo], axis=2).reshape(EL, N)
+            for t, bo in zip(top, bot)
+        )
+    perm = jnp.asarray(_bitrev_perm(N))
+    return tuple(jnp.take(v, perm, axis=1) for v in x)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def group_ifft(curve: CurveSpec, p):
+    """Inverse group FFT with 1/N scalar scaling."""
+    X, _, _ = p
+    N = X.shape[1]
+    y = group_fft(curve, p, inverse=True)
+    fr = curve.fr
+    n_inv = mod_inv(N, fr.q)
+    k = jnp.broadcast_to(
+        jnp.asarray(ints_to_limbs([n_inv], fr.n_limbs)), (fr.n_limbs, N)
+    )
+    return group.times_scalar(curve, y, k)

@@ -69,6 +69,59 @@ class F:
             r = r * b % self.q
         return r
 
+    # generic-field surface (shared with F2 so Curve can be field-agnostic)
+    def of(self, v):
+        return v % self.q if isinstance(v, int) else v
+
+    def is_zero(self, a) -> bool:
+        return a % self.q == 0
+
+    def small(self, n: int):
+        return n % self.q
+
+
+class F2:
+    """Quadratic extension Fq[u]/(u^2 - nr) over python int pairs."""
+
+    def __init__(self, q: int, nr: int = -1):
+        self.q = q
+        self.nr = nr % q
+
+    def of(self, v):
+        if isinstance(v, int):
+            return (v % self.q, 0)
+        return (v[0] % self.q, v[1] % self.q)
+
+    def small(self, n: int):
+        return (n % self.q, 0)
+
+    def add(self, a, b):
+        return ((a[0] + b[0]) % self.q, (a[1] + b[1]) % self.q)
+
+    def sub(self, a, b):
+        return ((a[0] - b[0]) % self.q, (a[1] - b[1]) % self.q)
+
+    def neg(self, a):
+        return ((-a[0]) % self.q, (-a[1]) % self.q)
+
+    def mul(self, a, b):
+        q = self.q
+        c0 = (a[0] * b[0] + self.nr * a[1] * b[1]) % q
+        c1 = (a[0] * b[1] + a[1] * b[0]) % q
+        return (c0, c1)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        q = self.q
+        norm = (a[0] * a[0] - self.nr * a[1] * a[1]) % q
+        ninv = pow(norm, q - 2, q)
+        return (a[0] * ninv % q, (-a[1]) * ninv % q)
+
+    def is_zero(self, a) -> bool:
+        return a[0] % self.q == 0 and a[1] % self.q == 0
+
 
 # ---------------------------------------------------------------------------
 # short Weierstrass curve y^2 = x^3 + a*x + b, Jacobian coordinates
@@ -80,15 +133,26 @@ Affine = Optional[Tuple[int, int]]
 
 @dataclass
 class Curve:
+    """Field-agnostic short Weierstrass group oracle.
+
+    With the default field, coordinates are python ints (G1); pass
+    field=F2(q, nr) and tuple coordinates for G2 over Fq2.
+    """
+
     q: int
     a: int
-    b: int
+    b: object
     r: int  # group order
-    gx: int
-    gy: int
+    gx: object
+    gy: object
+    field: object = None
 
     def __post_init__(self):
-        self.F = F(self.q)
+        self.F = self.field if self.field is not None else F(self.q)
+        self.a = self.F.of(self.a)
+        self.b = self.F.of(self.b)
+        self.gx = self.F.of(self.gx)
+        self.gy = self.F.of(self.gy)
 
     @property
     def g(self) -> Affine:
@@ -98,26 +162,32 @@ class Curve:
         if p is None:
             return True
         x, y = p
-        return (y * y - (x * x * x + self.a * x + self.b)) % self.q == 0
+        f = self.F
+        lhs = f.sqr(y)
+        rhs = f.add(f.add(f.mul(f.sqr(x), x), f.mul(self.a, x)), self.b)
+        return f.is_zero(f.sub(lhs, rhs))
 
     def neg(self, p: Affine) -> Affine:
         if p is None:
             return None
-        return (p[0], (-p[1]) % self.q)
+        return (p[0], self.F.neg(p[1]))
 
     def add(self, p: Affine, s: Affine) -> Affine:
-        f, q = self.F, self.q
+        f = self.F
         if p is None:
             return s
         if s is None:
             return p
         x1, y1 = p
         x2, y2 = s
-        if x1 == x2:
-            if (y1 + y2) % q == 0:
+        if f.is_zero(f.sub(x1, x2)):
+            if f.is_zero(f.add(y1, y2)):
                 return None
             # doubling
-            lam = f.mul(f.add(f.mul(3, f.sqr(x1)), self.a), f.inv(f.mul(2, y1)))
+            lam = f.mul(
+                f.add(f.mul(f.small(3), f.sqr(x1)), self.a),
+                f.inv(f.mul(f.small(2), y1)),
+            )
         else:
             lam = f.mul(f.sub(y2, y1), f.inv(f.sub(x2, x1)))
         x3 = f.sub(f.sqr(lam), f.add(x1, x2))

@@ -61,7 +61,7 @@ def msm_sharded(
         c = windows.default_window_size(local_n, max_bits, mem_budget_bytes)
     if lanes is None:
         W = windows.num_windows(max_bits, c)
-        lanes = pippenger._lane_count(local_n, c, W, mem_budget_bytes, curve.fq.n_limbs)
+        lanes = pippenger._lane_count(local_n, c, W, mem_budget_bytes, curve.field.elem_len)
         lanes = min(lanes, max(1, local_n // 4) if local_n >= 4 else 1)
 
     def local_step(xs, ys, sc):
@@ -74,7 +74,7 @@ def msm_sharded(
         Nl = pts[0].shape[1]
         pad = (-Nl) % lanes
         if pad:
-            zf = jnp.zeros((curve.fq.n_limbs, pad), dtype=jnp.uint32)
+            zf = jnp.zeros((curve.field.elem_len, pad), dtype=jnp.uint32)
             pts = (
                 jnp.concatenate([pts[0], zf], axis=1),
                 jnp.concatenate([pts[1], zf], axis=1),
