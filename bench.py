@@ -88,7 +88,7 @@ def main():
     sc = jnp.asarray(ints_to_limbs(kints, fr.n_limbs))
 
     c = int(WINDOW) if WINDOW else None
-    max_bits = glv_mod.HALF_LIMBS * 16
+    max_bits = glv_mod.MAX_BITS
     impl = os.environ.get("BENCH_IMPL", "auto")
 
     @jax.jit

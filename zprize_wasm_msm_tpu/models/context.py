@@ -74,7 +74,7 @@ class CurveContext:
             use_glv = spec.glv is not None
         if use_glv and spec.glv is not None:
             points, scalars = glv_mod.preprocess_endomorphism(spec, points, scalars)
-            max_bits = glv_mod.HALF_LIMBS * 16
+            max_bits = glv_mod.MAX_BITS
         return pippenger.msm(spec, points, scalars, c=c, max_bits=max_bits, **kw)
 
     def msm_host(self, pts, ks, **kw) -> Optional[Tuple[int, int]]:
@@ -83,10 +83,86 @@ class CurveContext:
         s = self.scalars_to_device(ks)
         return self.result_to_affine(self.msm(P, s, **kw))
 
-    # ---- misc parity surface ---------------------------------------------
+    def msm_legacy(self, points, scalars, **kw):
+        """The reference's simpler engine (g1m_multiexpAffine_wasmcurve,
+        build_multiexp.js:251): same bucket method without GLV; here the
+        generic engine with GLV off — a differential oracle for msm()."""
+        kw.setdefault("impl", "xla")
+        return pippenger.msm(self.spec, points, scalars, **kw)
+
+    # ---- group-op parity surface (build_curve_jacobian_a0.js exports) -----
+
+    def add(self, p, q):
+        return group.add(self.spec, p, q)
+
+    def add_mixed(self, p, q):
+        return group.add_mixed(self.spec, p, q)
+
+    def double(self, p):
+        return group.double(self.spec, p)
+
+    def neg(self, p):
+        return group.neg(self.spec, p)
+
+    def sub(self, p, q):
+        return group.sub(self.spec, p, q)
+
+    def eq(self, p, q):
+        return group.eq(self.spec, p, q)
+
+    def is_zero(self, p):
+        return group.is_zero(self.spec, p)
+
+    def in_curve(self, p):
+        return group.in_curve(self.spec, p)
 
     def times_scalar(self, points, scalars):
         return group.times_scalar(self.spec, points, scalars)
+
+    def to_affine(self, p):
+        """normalize / batchToAffine (ref :940-1128) — batched by nature."""
+        return group.to_affine(self.spec, p)
+
+    batch_to_affine = to_affine
+
+    # ---- serialization (ref LEMtoU/LEMtoC/UtoLEM/CtoLEM + batch*) ---------
+
+    def to_uncompressed(self, X, Y):
+        from ..utils import serde
+
+        return serde.points_to_uncompressed(self.spec, X, Y)
+
+    def from_uncompressed(self, raw):
+        from ..utils import serde
+
+        return serde.points_from_uncompressed(self.spec, raw)
+
+    def to_compressed(self, X, Y):
+        from ..utils import serde
+
+        return serde.points_to_compressed(self.spec, X, Y)
+
+    def from_compressed(self, raw):
+        from ..utils import serde
+
+        return serde.points_from_compressed(self.spec, raw)
+
+    # ---- FFT over Fr (ref frm_fft/ifft, build_bls12381.js:43) -------------
+
+    def fft(self, x, inverse: bool = False):
+        from ..ops.poly import fft as fft_mod
+
+        return fft_mod.fft(self.spec.fr, x, inverse)
+
+    def ifft(self, x):
+        from ..ops.poly import fft as fft_mod
+
+        return fft_mod.ifft(self.spec.fr, x)
+
+    def group_fft(self, p, inverse: bool = False):
+        from ..ops.poly import fft as fft_mod
+
+        return fft_mod.group_fft(self.spec, p, inverse)
 
     @property
     def g1(self):

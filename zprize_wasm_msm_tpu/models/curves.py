@@ -211,6 +211,19 @@ toy = CurveSpec(
     glv=None,
 )
 
+# a != 0 toy: exercises the general-a complete formulas (the MNT6753
+# projective-curve path) at 14-bit size
+toy_a = CurveSpec(
+    name="toy_a",
+    q=10007,
+    r=3359,  # prime subgroup order; cofactor 3
+    a=3,
+    b=1,
+    gx=127,
+    gy=4194,
+    glv=None,
+)
+
 # FFT-friendly toy: r - 1 = 2^7 * 21, so Fr has 2-adicity 7 (group/scalar
 # FFTs up to size 128); same generic kernels, 13-bit field.
 toy_fft = CurveSpec(
@@ -224,11 +237,32 @@ toy_fft = CurveSpec(
     glv=None,
 )
 
-# MNT6-753 (ref: src/mnt6753/build_mnt6753.js; a != 0, projective curve)
-# is wired in models/mnt6753.py with constants read from the reference's
-# curve assembly; it needs the general-a projective formulas.
+# --------------------------------------------------------------------------
+# MNT6-753 (ref: src/mnt6753/build_mnt6753.js:19 q, :234 r, mulByA1 a=11,
+# G1gen at :146; the reference uses a projective a != 0 curve via
+# build_curve_projective.js — here the general-a complete formulas)
+# --------------------------------------------------------------------------
+
+MNT6753_Q = 41898490967918953402344214791240637128170709919953949071783502921025352812571106773058893763790338921418070971888458477323173057491593855069696241854796396165721416325350064441470418137846398469611935719059908164220784476160001
+MNT6753_R = 41898490967918953402344214791240637128170709919953949071783502921025352812571106773058893763790338921418070971888253786114353726529584385201591605722013126468931404347949840543007986327743462853720628051692141265303114721689601
+_MNT6_GX = 16364236387491689444759057944334173579070747473738339749093487337644739228935268157504218078126401066954815152892688541654726829424326599038522503517302466226143788988217410842672857564665527806044250003808514184274233938437290
+_MNT6_GY = 4510127914410645922431074687553594593336087066778984214797709122300210966076979927285161950203037801392624582544098750667549188549761032654706830225743998064330900301346566408501390638273322467173741629353517809979540986561128
+
+mnt6753 = CurveSpec(
+    name="mnt6753",
+    q=MNT6753_Q,
+    r=MNT6753_R,
+    a=11,
+    # b derived from the generator: b = y^2 - x^3 - a*x (the reference's
+    # projective builder never embeds b; it is only needed for inCurve)
+    b=(_MNT6_GY * _MNT6_GY - _MNT6_GX**3 - 11 * _MNT6_GX) % MNT6753_Q,
+    gx=_MNT6_GX,
+    gy=_MNT6_GY,
+    glv=None,
+)
 
 CURVES = {
+    "mnt6753": mnt6753,
     "bls12_381": bls12_381,
     "bls12_381_g2": bls12_381_g2,
     "bls12_377": bls12_377,

@@ -110,14 +110,70 @@ def eq(curve: CurveSpec, p: Point, q: Point) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _add_general(curve: CurveSpec, p: Point, q: Point) -> Point:
+    """Complete projective addition for ARBITRARY a (RCB16 alg. 1; 12M).
+
+    Serves the reference's projective curve (build_curve_projective.js,
+    MNT6753 with a = 11) — but exception-free where the reference's
+    add-1998-cmo-2 has special cases.
+    """
+    F = curve.field
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    batch = F.batch_shape(X1)
+    b3 = F.const(curve.b3, batch)
+    a = F.const(curve.a, batch)
+    fadd, fsub = F.add, F.sub
+
+    t0, t1, t2, m3, m4, m5 = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (fadd(X1, Y1), fadd(X2, Y2)),
+            (fadd(X1, Z1), fadd(X2, Z2)),
+            (fadd(Y1, Z1), fadd(Y2, Z2)),
+        ]
+    )
+    t3 = fsub(m3, fadd(t0, t1))  # X1Y2 + X2Y1
+    t4 = fsub(m4, fadd(t0, t2))  # X1Z2 + X2Z1
+    t5 = fsub(m5, fadd(t1, t2))  # Y1Z2 + Y2Z1
+
+    at4, bt2, at2 = F.mul_many([(a, t4), (b3, t2), (a, t2)])
+    Z3 = fadd(bt2, at4)
+    X3 = fsub(t1, Z3)
+    Z3 = fadd(t1, Z3)
+
+    t1n = fadd(fadd(t0, t0), t0)  # 3*t0
+    t1n = fadd(t1n, at2)
+    t2n = fsub(t0, at2)
+
+    bt4, at2n = F.mul_many([(b3, t4), (a, t2n)])
+    t4n = fadd(bt4, at2n)
+
+    Y3, m0, m1, m2, m3b = F.mul_many(
+        [
+            (X3, Z3),
+            (t1n, t4n),
+            (t5, t4n),
+            (t3, X3),
+            (t3, t1n),
+        ]
+    )
+    (m4b,) = F.mul_many([(t5, Z3)])
+    return (fsub(m2, m1), fadd(Y3, m0), fadd(m4b, m3b))
+
+
 @_curvejit(0)
 def add(curve: CurveSpec, p: Point, q: Point) -> Point:
-    """Complete projective addition, a=0 (RCB16 alg. 7; 12M).
+    """Complete projective addition (RCB16 alg. 7 for a=0, alg. 1 general).
 
     Replaces the reference's branchy Jacobian add
     (build_curve_jacobian_a0.js:541-658) — handles P==Q, P==-Q and
     infinities with NO special cases.
     """
+    if curve.a != 0:
+        return _add_general(curve, p, q)
     F = curve.field
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
@@ -168,6 +224,8 @@ def add_mixed(curve: CurveSpec, p: Point, q: AffinePoint) -> Point:
     (0,0) cannot be expressed in the complete formula, so it is handled by
     one select — the only mask in the hot path.
     """
+    if curve.a != 0:  # general-a curves: lift and use the complete add
+        return add(curve, p, from_affine(curve, q))
     F = curve.field
     X1, Y1, Z1 = p
     X2, Y2 = q
@@ -226,6 +284,8 @@ def double(curve: CurveSpec, p: Point) -> Point:
     Replaces build_curve_jacobian_a0.js double:291; handles infinity for
     free ((0:1:0) maps to itself).
     """
+    if curve.a != 0:  # complete formulas handle P == Q: reuse the add
+        return _add_general(curve, p, p)
     F = curve.field
     X, Y, Z = p
     batch = F.batch_shape(X)
@@ -329,13 +389,16 @@ def to_affine(curve: CurveSpec, p: Point) -> AffinePoint:
 
 @_curvejit(0)
 def in_curve(curve: CurveSpec, p: Point) -> jnp.ndarray:
-    """Y^2*Z == X^3 + b*Z^3 (ref inCurve:1330; a=0 curves)."""
+    """Y^2*Z == X^3 + a*X*Z^2 + b*Z^3 (ref inCurve:1330)."""
     F = curve.field
     X, Y, Z = p
     batch = F.batch_shape(X)
     b = F.const(curve.b, batch)
-    lhs = F.mul(F.square(Y) if hasattr(F, "square") else F.mul(Y, Y), Z)
+    zsq = F.mul(Z, Z)
+    lhs = F.mul(F.mul(Y, Y), Z)
     x3 = F.mul(F.mul(X, X), X)
-    bz3 = F.mul(b, F.mul(F.mul(Z, Z), Z))
-    rhs = F.add(x3, bz3)
+    rhs = F.add(x3, F.mul(b, F.mul(zsq, Z)))
+    if curve.a != 0:
+        a = F.const(curve.a, batch)
+        rhs = F.add(rhs, F.mul(a, F.mul(X, zsq)))
     return F.eq(lhs, rhs) | is_zero(curve, p)

@@ -37,6 +37,14 @@ from ..field.mont import U32
 #: for non-canonical (>= r) inputs.
 HALF_LIMBS = 9
 
+#: tight bit bound for the decomposed |k1|, |k2| magnitudes: the lattice
+#: constants are ~2^127.5 (u0 = z^2, |v1| = z^2 - 1), Barrett quotients
+#: carry <= 2 of slack, and non-canonical 256-bit inputs add ~1 bit — so
+#: 132 bits covers every reachable value with >= 2 bits of headroom.
+#: Window digitization uses THIS (not HALF_LIMBS*16): 12 fewer digit bits
+#: means ~8% fewer windows at c=4 and 2 fewer at c=6 (W 23 vs 25).
+MAX_BITS = 132
+
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def decompose_scalars(

@@ -116,6 +116,67 @@ def ifft(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# snarkjs composite helpers (ref build_fft.js fftJoin:657, fftMix:1114,
+# fftFinal:1238) — chunked-FFT building blocks over Fr
+# ---------------------------------------------------------------------------
+
+
+def _geometric_table(spec: FieldSpec, first: jnp.ndarray, inc: jnp.ndarray, n: int):
+    """(L, n) Montgomery [first, first*inc, ...] — log-depth doubling."""
+    p = first[:, None]
+    step = inc
+    while p.shape[1] < n:
+        p = jnp.concatenate([p, mont.mont_mul(spec, p, step[:, None])], axis=1)
+        step = mont.mont_mul(spec, step, step)
+    return p[:, :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fft_join(spec: FieldSpec, buff1, buff2, first, inc):
+    """(b1[i], b2[i]) <- (b1[i] + w_i*b2[i], b1[i] - w_i*b2[i]) with
+    w_i = first * inc^i (ref fftJoin:657).  All (L, n) Montgomery;
+    first/inc (L,)."""
+    n = buff1.shape[1]
+    w = _geometric_table(spec, first, inc, n)
+    t = mont.mont_mul(spec, buff2, w)
+    return mont.add(spec, buff1, t), mont.sub(spec, buff1, t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fft_mix(spec: FieldSpec, buff, exp: int):
+    """One in-place radix-2 DIT stage over groups of size 2^exp
+    (ref fftMix:1114): within each group, butterfly pairs (j, j + 2^(exp-1))
+    with twiddles (w_{2^exp})^j."""
+    L, n = buff.shape
+    m = 1 << exp
+    groups = n // m
+    half = m // 2
+    w = _root_of_unity(spec.q, m)
+    R = 1 << (16 * spec.n_limbs)
+    vals, cur = [], 1
+    for _ in range(half):
+        vals.append(cur * R % spec.q)
+        cur = cur * w % spec.q
+    tw = jnp.asarray(ints_to_limbs(vals, spec.n_limbs))  # (L, half)
+    v = buff.reshape(L, groups, m)
+    a = v[:, :, :half]
+    b = mont.mont_mul(spec, v[:, :, half:], tw[:, None, :])
+    top = mont.add(spec, a, b)
+    bot = mont.sub(spec, a, b)
+    return jnp.concatenate([top, bot], axis=2).reshape(L, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fft_final(spec: FieldSpec, buff, factor):
+    """Scale by factor (the 1/N of a chunked inverse FFT; ref fftFinal:1238
+    also swaps halves of the bit-reversed layout — here layouts are natural
+    order, so only the scale remains)."""
+    return mont.mont_mul(
+        spec, buff, jnp.broadcast_to(factor[:, None], buff.shape)
+    )
+
+
+# ---------------------------------------------------------------------------
 # group-valued FFT (ref: opGtimesF instantiation for g1m/g2m,
 # build_bls12381.js:80-86) — butterflies over curve points, twiddle action
 # is full scalar multiplication

@@ -55,7 +55,7 @@ def msm_sharded(
     if use_glv is None:
         use_glv = curve.glv is not None
     if max_bits is None:
-        max_bits = glv_mod.HALF_LIMBS * 16 if use_glv else scalars.shape[0] * 16
+        max_bits = glv_mod.MAX_BITS if use_glv else scalars.shape[0] * 16
     local_n = (N // n_dev) * (2 if use_glv else 1)
     if c is None:
         c = windows.default_window_size(local_n, max_bits, mem_budget_bytes)
