@@ -73,3 +73,62 @@ def test_group_fft_commutes_with_encrypt():
     want_k = ntt(ks, fr.q, root)
     want = [oc.mul(oc.g, k) for k in want_k]
     assert got == want
+
+
+def test_fft_join_ext_oracle_and_roundtrip(rng):
+    """fft_join_ext matches a bigint oracle and fft_join_ext_inv undoes it
+    (ref build_fft.js fftJoinExt:749 / fftJoinExtInv:859)."""
+    from zprize_wasm_msm_tpu.utils.bigint import mod_inv
+
+    spec = toy_fft.fr
+    q = spec.q
+    n, total_bits = 8, 3
+    a = [int(rng.integers(0, q)) for _ in range(n)]
+    b = [int(rng.integers(0, q)) for _ in range(n)]
+    first, inc = 5, 7
+
+    m, s = fft_mod._shift_consts(q, total_bits)
+    assert (1 - m) * s % q == 1
+
+    b1 = to_dev_fr(spec, a)
+    b2 = to_dev_fr(spec, b)
+    fdev = to_dev_fr(spec, [first])[:, 0]
+    idev = to_dev_fr(spec, [inc])[:, 0]
+    o1, o2 = fft_mod.fft_join_ext(spec, b1, b2, fdev, idev, total_bits)
+
+    w = [first * pow(inc, i, q) % q for i in range(n)]
+    want1 = [(x + y) % q for x, y in zip(a, b)]
+    want2 = [(x + m * y) * wi % q for x, y, wi in zip(a, b, w)]
+    assert from_dev_fr(spec, o1) == want1
+    assert from_dev_fr(spec, o2) == want2
+
+    # inverse pass with w_i^{-1} = first^{-1} * (inc^{-1})^i
+    fi = to_dev_fr(spec, [mod_inv(first, q)])[:, 0]
+    ii = to_dev_fr(spec, [mod_inv(inc, q)])[:, 0]
+    r1, r2 = fft_mod.fft_join_ext_inv(spec, o1, o2, fi, ii, total_bits)
+    assert from_dev_fr(spec, r1) == a
+    assert from_dev_fr(spec, r2) == b
+
+
+def test_prepare_lagrange_evaluation_oracle(rng):
+    """prepare_lagrange_evaluation matches the bigint oracle
+    (ref build_fft.js buildPrepareLagrangeEvaluation:991)."""
+    spec = toy_fft.fr
+    q = spec.q
+    n, total_bits = 8, 2
+    a = [int(rng.integers(0, q)) for _ in range(n)]
+    b = [int(rng.integers(0, q)) for _ in range(n)]
+    first, inc = 3, 11
+
+    m, s = fft_mod._shift_consts(q, total_bits)
+    b1 = to_dev_fr(spec, a)
+    b2 = to_dev_fr(spec, b)
+    fdev = to_dev_fr(spec, [first])[:, 0]
+    idev = to_dev_fr(spec, [inc])[:, 0]
+    o1, o2 = fft_mod.prepare_lagrange_evaluation(spec, b1, b2, fdev, idev, total_bits)
+
+    w = [first * pow(inc, i, q) % q for i in range(n)]
+    want1 = [(y - m * x) * s % q for x, y in zip(a, b)]
+    want2 = [(x - y) * wi % q for x, y, wi in zip(a, b, w)]
+    assert from_dev_fr(spec, o1) == want1
+    assert from_dev_fr(spec, o2) == want2

@@ -176,6 +176,94 @@ def fft_final(spec: FieldSpec, buff, factor):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _shift_consts(spec_q: int, total_bits: int):
+    """(shiftToM, sConst) for the coset-extension helpers.
+
+    The reference bakes these per totalBits at codegen
+    (build_fft.js:80-87): shift = nr^2 with nr the smallest quadratic
+    nonresidue, shiftToM = shift^(2^totalBits), sConst = 1/(1 - shiftToM).
+    """
+    q = spec_q
+    nr = 2
+    while pow(nr, q >> 1, q) == 1:
+        nr += 1
+    shift = nr * nr % q
+    shift_to_m = pow(shift, 1 << total_bits, q)
+    s_const = mod_inv((1 - shift_to_m) % q, q)
+    return shift_to_m, s_const
+
+
+def _mont_scalar(spec: FieldSpec, v: int) -> jnp.ndarray:
+    return jnp.asarray(ints_to_limbs([spec.to_mont_int(v)], spec.n_limbs))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def fft_join_ext(spec: FieldSpec, buff1, buff2, first, inc, total_bits: int):
+    """Coset-extension join (ref build_fft.js fftJoinExt:749).
+
+    With w_i = first*inc^i and m = shift^(2^total_bits):
+      b1[i] <- b1[i] + b2[i]
+      b2[i] <- (b1[i] + m*b2[i]) * w_i
+    All (L, n) Montgomery; first/inc (L,).  Returns (b1', b2').
+    """
+    n = buff1.shape[1]
+    shift_to_m, _ = _shift_consts(spec.q, total_bits)
+    m = _mont_scalar(spec, shift_to_m)
+    w = _geometric_table(spec, first, inc, n)
+    u = mont.add(spec, buff1, buff2)
+    t = mont.add(spec, buff1, mont.mont_mul(spec, buff2, jnp.broadcast_to(m, buff2.shape)))
+    return u, mont.mont_mul(spec, t, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def fft_join_ext_inv(spec: FieldSpec, buff1, buff2, first, inc, total_bits: int):
+    """Inverse of fft_join_ext (ref buildFFTJoinExtInv, build_fft.js:859).
+
+    With w_i = first*inc^i, m = shift^(2^total_bits), s = 1/(1-m):
+      u     = b2[i] * w_i
+      b2[i] <- (b1[i] - u) * s
+      b1[i] <- (u - m*b1[i]) * s
+    """
+    n = buff1.shape[1]
+    shift_to_m, s_const = _shift_consts(spec.q, total_bits)
+    m = _mont_scalar(spec, shift_to_m)
+    s = _mont_scalar(spec, s_const)
+    w = _geometric_table(spec, first, inc, n)
+    u = mont.mont_mul(spec, buff2, w)
+    b2 = mont.mont_mul(
+        spec, mont.sub(spec, buff1, u), jnp.broadcast_to(s, buff1.shape)
+    )
+    b1m = mont.mont_mul(spec, buff1, jnp.broadcast_to(m, buff1.shape))
+    b1 = mont.mont_mul(
+        spec, mont.sub(spec, u, b1m), jnp.broadcast_to(s, buff1.shape)
+    )
+    return b1, b2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def prepare_lagrange_evaluation(spec: FieldSpec, buff1, buff2, first, inc, total_bits: int):
+    """Lagrange-evaluation preparation (ref buildPrepareLagrangeEvaluation,
+    build_fft.js:991).
+
+    With w_i = first*inc^i, m = shift^(2^total_bits), s = 1/(1-m):
+      u     = b2[i] - m*b1[i]
+      b2[i] <- (b1[i] - b2[i]) * w_i
+      b1[i] <- u * s
+    """
+    n = buff1.shape[1]
+    shift_to_m, s_const = _shift_consts(spec.q, total_bits)
+    m = _mont_scalar(spec, shift_to_m)
+    s = _mont_scalar(spec, s_const)
+    w = _geometric_table(spec, first, inc, n)
+    u = mont.sub(
+        spec, buff2, mont.mont_mul(spec, buff1, jnp.broadcast_to(m, buff1.shape))
+    )
+    b2 = mont.mont_mul(spec, mont.sub(spec, buff1, buff2), w)
+    b1 = mont.mont_mul(spec, u, jnp.broadcast_to(s, buff1.shape))
+    return b1, b2
+
+
 # ---------------------------------------------------------------------------
 # group-valued FFT (ref: opGtimesF instantiation for g1m/g2m,
 # build_bls12381.js:80-86) — butterflies over curve points, twiddle action
