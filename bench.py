@@ -71,7 +71,8 @@ def main():
     )
     base = 64
     rng = np.random.default_rng(123)
-    pts = [oc.mul(oc.g, int(rng.integers(1, 1 << 62))) for _ in range(base)]
+    base_mults = [int(rng.integers(1, 1 << 62)) for _ in range(base)]
+    pts = [oc.mul(oc.g, m) for m in base_mults]
     xs = np.asarray(
         ints_to_limbs([fq.to_mont_int(p[0]) for p in pts], fq.n_limbs)
     )
@@ -115,6 +116,19 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     pps = n / best
+
+    # ---- verify: the bases are multiples m_j of G tiled n/64 times, so the
+    # MSM collapses to (sum_i k_i * m_{i mod 64} mod r) * G — one cheap
+    # host-side scalar-mul.  A perf "win" that computes garbage cannot pass.
+    from zprize_wasm_msm_tpu.models.context import build_curve
+
+    mults = [int(m) for m in base_mults]
+    total = sum(k * mults[i % base] for i, k in enumerate(kints)) % bls12_381.r
+    expected = oc.mul(oc.g, total)
+    got = build_curve(bls12_381).result_to_affine(
+        tuple(jnp.asarray(r) for r in res)
+    )
+    assert got == expected, "MSM result verification FAILED"
     out = {
         "metric": f"msm_points_per_sec_bls12_381_g1_2^{LOG2N}",
         "value": round(pps, 1),

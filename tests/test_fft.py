@@ -87,8 +87,15 @@ def test_fft_join_ext_oracle_and_roundtrip(rng):
     b = [int(rng.integers(0, q)) for _ in range(n)]
     first, inc = 5, 7
 
-    m, s = fft_mod._shift_consts(q, total_bits)
-    assert (1 - m) * s % q == 1
+    # independent oracle for the constants (reference definition,
+    # build_fft.js:80-87): shift = nr^2, m = shift^(2^totalBits),
+    # s = 1/(1 - m) — derived here from scratch, NOT via fft_mod internals.
+    nr = 2
+    while pow(nr, (q - 1) // 2, q) != q - 1:
+        nr += 1
+    m = pow(nr * nr % q, 1 << total_bits, q)
+    s = mod_inv((1 - m) % q, q)
+    assert (m, s) == fft_mod._shift_consts(q, total_bits)
 
     b1 = to_dev_fr(spec, a)
     b2 = to_dev_fr(spec, b)

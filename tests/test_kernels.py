@@ -1,0 +1,233 @@
+"""TPU hot-path tests: the Pallas kernels that produce the bench number.
+
+Everything runs in Pallas TPU *interpret mode* on the CPU backend, so the
+exact kernel bodies (ops.field.kcore, ops.curve.kgroup, ops.msm.pl_bucket,
+ops.field.kernels) are exercised by `pytest -m "not slow"` without TPU
+hardware.  Each test is a differential against the jnp path (ops.field.mont
+/ ops.curve.group / pippenger's XLA bucket path), which is itself tested
+against the pure-Python oracle — results must be bit-identical.
+
+Mirrors the reference's strategy of testing every MSM stage through its
+exported symbol (wasmcurves/test/batchAffine.js:43-1256).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zprize_wasm_msm_tpu.models.curves import toy
+from zprize_wasm_msm_tpu.ops.curve import group, kgroup
+from zprize_wasm_msm_tpu.ops.field import kcore, kernels, mont
+from zprize_wasm_msm_tpu.ops.msm import pippenger, pl_bucket, windows
+from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs
+
+U32 = jnp.uint32
+FQ = toy.fq
+L = FQ.n_limbs
+
+
+def rand_elems(rng, n):
+    vals = [int(rng.integers(0, FQ.q)) for _ in range(n)]
+    return jnp.asarray(ints_to_limbs([FQ.to_mont_int(v) for v in vals], L))
+
+
+def run_kcore_binop(op_name, a, b):
+    """Run one kcore binary op inside a real (interpreted) Pallas kernel."""
+    n = a.shape[1]
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        av, bv = a_ref[:], b_ref[:]
+        if op_name == "add":
+            o_ref[:] = kcore.kadd(FQ, av, bv)
+        elif op_name == "sub":
+            o_ref[:] = kcore.ksub(FQ, av, bv)
+        elif op_name == "mul":
+            o_ref[:] = kcore.kmul(FQ, acc_ref, av, bv)
+        elif op_name == "neg":
+            o_ref[:] = kcore.kneg(FQ, av)
+
+    with pltpu.force_tpu_interpret_mode():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), U32),
+            scratch_shapes=[pltpu.VMEM((2 * L + 2, n), U32)],
+        )(a, b)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "neg"])
+def test_kcore_matches_mont(rng, op):
+    """kcore field ops ≡ ops.field.mont, bit-for-bit, on random operands."""
+    n = 16
+    a = rand_elems(rng, n)
+    b = rand_elems(rng, n)
+    got = np.asarray(run_kcore_binop(op, a, b))
+    ref = {
+        "add": lambda: mont.add(FQ, a, b),
+        "sub": lambda: mont.sub(FQ, a, b),
+        "mul": lambda: mont.mont_mul(FQ, a, b),
+        "neg": lambda: mont.neg(FQ, a),
+    }[op]()
+    np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_kcore_edge_values(rng):
+    """Edge operands: 0, 1, q-1 in all combinations (genValues-style sweep,
+    ref wasmcurves/test/helpers/helpers.js)."""
+    edges = [0, 1, FQ.q - 1, FQ.q // 2, FQ.q // 2 + 1]
+    pairs = [(x, y) for x in edges for y in edges]
+    a = jnp.asarray(ints_to_limbs([FQ.to_mont_int(x) for x, _ in pairs], L))
+    b = jnp.asarray(ints_to_limbs([FQ.to_mont_int(y) for _, y in pairs], L))
+    for op, ref in [
+        ("add", mont.add(FQ, a, b)),
+        ("sub", mont.sub(FQ, a, b)),
+        ("mul", mont.mont_mul(FQ, a, b)),
+    ]:
+        got = np.asarray(run_kcore_binop(op, a, b))
+        np.testing.assert_array_equal(got, np.asarray(ref), err_msg=op)
+
+
+def test_kgroup_matches_group(rng):
+    """kgroup kadd/kadd_mixed/kdouble ≡ ops.curve.group, incl. identities."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n = 8
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n - 1)]
+    pts.append(None)  # identity in the batch
+    qts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n - 2)]
+    qts.append(pts[0])  # duplicate -> doubling case inside add
+    qts.append(None)
+
+    def to_dev(ps):
+        xs = [0 if p is None else FQ.to_mont_int(p[0]) for p in ps]
+        ys = [0 if p is None else FQ.to_mont_int(p[1]) for p in ps]
+        return (
+            jnp.asarray(ints_to_limbs(xs, L)),
+            jnp.asarray(ints_to_limbs(ys, L)),
+        )
+
+    PX, PY = to_dev(pts)
+    QX, QY = to_dev(qts)
+    P = group.from_affine(toy, (PX, PY))
+    Q = group.from_affine(toy, (QX, QY))
+
+    def kernel(mode, px, py, pz, qx, qy, qz, ox, oy, oz, acc_ref):
+        p = (px[:], py[:], pz[:])
+        q3 = (qx[:], qy[:], qz[:])
+        if mode == "add":
+            r = kgroup.kadd(toy, acc_ref, p, q3)
+        elif mode == "add_mixed":
+            r = kgroup.kadd_mixed(toy, acc_ref, p, (qx[:], qy[:]))
+        else:
+            r = kgroup.kdouble(toy, acc_ref, p)
+        ox[:], oy[:], oz[:] = r
+
+    def run(mode, p, q3):
+        out = jax.ShapeDtypeStruct((L, n), U32)
+        with pltpu.force_tpu_interpret_mode():
+            return pl.pallas_call(
+                functools.partial(kernel, mode),
+                out_shape=(out, out, out),
+                scratch_shapes=[pltpu.VMEM((2 * L + 2, n), U32)],
+            )(*p, *q3)
+
+    # add_mixed takes RAW affine coords (identity = (0,0), not (0:1:0))
+    Qmixed = (QX, QY, Q[2])
+    for mode, ref, qin in [
+        ("add", group.add(toy, P, Q), Q),
+        ("add_mixed", group.add_mixed(toy, P, (QX, QY)), Qmixed),
+        ("double", group.double(toy, P), Q),
+    ]:
+        got = run(mode, P, qin)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=mode)
+
+
+def test_pl_bucket_matches_xla_path(rng):
+    """pl_bucket.bucket_accumulate ≡ pippenger's jnp bucket path as group
+    elements.  (The two paths partition points to lanes differently —
+    interleaved vs chunked — so projective representatives differ by
+    addition order; affine coordinates must match exactly.)"""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n, c, T = 32, 4, 4
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    ks[0] = 0
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+    digits = windows.signed_window_digits(sc, c, 16)
+
+    with pltpu.force_tpu_interpret_mode():
+        raw = pl_bucket.bucket_accumulate(toy, (X, Y), digits, lanes=T, c=c)
+        got = pippenger._lane_tree_reduce(toy, raw)
+    ref = pippenger._bucket_accumulate_impl(toy, (X, Y), digits, T, c)
+    got_aff = group.to_affine(toy, got)
+    ref_aff = group.to_affine(toy, ref)
+    for g, r in zip(got_aff, ref_aff):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_msm_pallas_impl_matches_xla(rng):
+    """End-to-end msm(impl='pallas') ≡ msm(impl='xla') on the toy curve."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n = 40
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy, (X, Y), sc, c=4, max_bits=16, lanes=8, impl="pallas"
+        )
+    ref = pippenger.msm(toy, (X, Y), sc, c=4, max_bits=16, lanes=8, impl="xla")
+    from tests.test_msm import result_to_affine
+
+    expected = oc.msm(pts, ks)
+    assert result_to_affine(toy, got) == expected
+    assert result_to_affine(toy, ref) == expected
+
+
+def test_batch_api_dispatch(rng, monkeypatch):
+    """ops.field.batch routes to the Pallas kernels when forced, and both
+    backends agree; round-trips to_mont∘from_mont = identity."""
+    from zprize_wasm_msm_tpu.ops.field import batch
+
+    n = 24
+    a = rand_elems(rng, n)
+    b = rand_elems(rng, n)
+    monkeypatch.setenv("ZPTPU_FIELD_IMPL", "xla")
+    ref = np.asarray(batch.batch_mul(FQ, a, b))
+    monkeypatch.setenv("ZPTPU_FIELD_IMPL", "pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(batch.batch_mul(FQ, a, b))
+        rt = np.asarray(batch.batch_from_mont(FQ, batch.batch_to_mont(FQ, a)))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(rt, np.asarray(a))
+
+
+def test_field_kernels_batch_ops(rng):
+    """ops.field.kernels (Pallas batched mont_mul/mont_square) ≡ mont."""
+    n = 40  # not a block multiple: exercises padding
+    a = rand_elems(rng, n)
+    b = rand_elems(rng, n)
+    with pltpu.force_tpu_interpret_mode():
+        gm = np.asarray(kernels.mont_mul(FQ, a, b))
+        gs = np.asarray(kernels.mont_square(FQ, a))
+    np.testing.assert_array_equal(gm, np.asarray(mont.mont_mul(FQ, a, b)))
+    np.testing.assert_array_equal(gs, np.asarray(mont.mont_square(FQ, a)))

@@ -139,6 +139,30 @@ def test_pairing_bilinearity():
     assert bool(np.asarray(bls12.pairing_eq(spec, Ps2, Qs2)))
 
 
+def test_final_exp_fast_matches_plain(rng):
+    """The w0 cyclotomic chain ≡ plain square-and-multiply by the hard
+    exponent (possibly up to the well-known harmless cube factor — pinned
+    here so any drift fails loudly)."""
+    import jax.numpy as jnp
+
+    spec = ps()
+    tw = spec.tower
+    q = bls12_381.q
+    L = tw.spec.n_limbs
+    comps = []
+    for _ in range(12):
+        v = int.from_bytes(rng.bytes(47), "little") % q
+        comps.append(
+            jnp.asarray(ints_to_limbs([tw.spec.to_mont_int(v)], L))
+        )
+    f = jnp.concatenate(comps, axis=0)  # (12L, 1)
+    fast = f12_host(tw, bls12.final_exponentiation(spec, f))[0]
+    plain = bls12.final_exponentiation_plain(spec, f)
+    plain_v = f12_host(tw, plain)[0]
+    cube = f12_host(tw, tw.f12_mul(tw.f12_mul(plain, plain), plain))[0]
+    assert fast in (plain_v, cube)
+
+
 def test_pairing_infinity():
     spec = ps()
     tw = spec.tower

@@ -116,6 +116,21 @@ class CurveContext:
     def in_curve(self, p):
         return group.in_curve(self.spec, p)
 
+    def in_group_affine(self, P):
+        """Subgroup membership on an affine batch (ref g1m/g2m_inGroupAffine,
+        build_bls12381.js:1376-1556).  BLS curves only (needs bls_x)."""
+        from ..ops.pairing import ingroup
+
+        spec = self.spec
+        assert spec.bls_x is not None, f"{spec.name}: no BLS parameter"
+        if spec.ext == 1:
+            return ingroup.g1_in_group(spec, spec.bls_x, P)
+        return ingroup.g2_in_group(spec, spec.bls_x, P)
+
+    def in_group(self, p):
+        """Subgroup check on a projective batch (ref g1m_inGroup)."""
+        return self.in_group_affine(group.to_affine(self.spec, p))
+
     def times_scalar(self, points, scalars):
         return group.times_scalar(self.spec, points, scalars)
 
@@ -124,6 +139,50 @@ class CurveContext:
         return group.to_affine(self.spec, p)
 
     batch_to_affine = to_affine
+
+    # ---- batched field ops (ref f1m_batch*, build_f1m.js:1351-1357) -------
+    # On TPU these route through the Pallas register kernels
+    # (ops.field.kernels); on CPU the jnp path.  Montgomery domain.
+
+    def batch_mul(self, a, b):
+        from ..ops.field import batch
+
+        return batch.batch_mul(self.spec.fq, a, b)
+
+    def batch_square(self, a):
+        from ..ops.field import batch
+
+        return batch.batch_square(self.spec.fq, a)
+
+    def batch_add(self, a, b):
+        from ..ops.field import batch
+
+        return batch.batch_add(self.spec.fq, a, b)
+
+    def batch_sub(self, a, b):
+        from ..ops.field import batch
+
+        return batch.batch_sub(self.spec.fq, a, b)
+
+    def batch_neg(self, a):
+        from ..ops.field import batch
+
+        return batch.batch_neg(self.spec.fq, a)
+
+    def batch_inverse(self, a):
+        from ..ops.field import batch
+
+        return batch.batch_inverse(self.spec.fq, a)
+
+    def batch_to_mont(self, a):
+        from ..ops.field import batch
+
+        return batch.batch_to_mont(self.spec.fq, a)
+
+    def batch_from_mont(self, a):
+        from ..ops.field import batch
+
+        return batch.batch_from_mont(self.spec.fq, a)
 
     # ---- serialization (ref LEMtoU/LEMtoC/UtoLEM/CtoLEM + batch*) ---------
 

@@ -40,6 +40,7 @@ bls12_381 = CurveSpec(
         v0=1,
         v1=-228988810152649578064853576960394133503,
     ),
+    bls_x=-0xD201000000010000,
 )
 
 # --------------------------------------------------------------------------
@@ -66,6 +67,7 @@ bls12_381_g2 = CurveSpec(
     glv=None,
     ext=2,
     nr=-1,
+    bls_x=-0xD201000000010000,
 )
 
 # --------------------------------------------------------------------------
@@ -151,6 +153,7 @@ bls12_377 = CurveSpec(
         v0=1,
         v1=-(_Z377 * _Z377 - 1),
     ),
+    bls_x=_Z377,
 )
 
 # --------------------------------------------------------------------------

@@ -16,11 +16,15 @@ from .spec import CurveSpec
 
 
 def kzero_point(curve: CurveSpec, batch_shape):
-    """The identity (0 : 1 : 0) as stacked kernel values."""
+    """The identity (0 : 1 : 0) as stacked kernel values.
+
+    (Two independent zero constants: jnp.array-copying one of them emits a
+    `copy` primitive Mosaic cannot lower inside pl.when branches.)"""
     fq = curve.fq
     zeros = kcore.kconst(fq, [0] * fq.n_limbs, batch_shape)
+    zeros2 = kcore.kconst(fq, [0] * fq.n_limbs, batch_shape)
     one = kcore.kconst(fq, fq.one_mont_limbs, batch_shape)
-    return (zeros, one, jnp.array(zeros))
+    return (zeros, one, zeros2)
 
 
 def kadd_mixed(curve: CurveSpec, acc_ref, p, q):

@@ -57,6 +57,7 @@ class CurveSpec:
     glv: Optional[GLVSpec] = None
     ext: int = 1
     nr: int = -1  # extension non-residue (u^2 = nr), ext >= 2 only
+    bls_x: Optional[int] = None  # signed BLS parameter (subgroup checks, pairing)
 
     @cached_property
     def fq(self) -> FieldSpec:

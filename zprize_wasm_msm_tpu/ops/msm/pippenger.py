@@ -201,6 +201,81 @@ def bucket_reduce(curve: CurveSpec, buckets):
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def bucket_reduce_grouped(curve: CurveSpec, buckets):
+    """Weighted bucket sum for LARGE bucket counts: ~2*sqrt(B) serial steps
+    instead of bucket_reduce's B (the c >= 8 regime would serialize 2^(c-1)
+    tiny adds otherwise).
+
+    Split b = g*M + m (M ~ sqrt(B)):
+      sum_b (b+1)*S_b = M * sum_g g*T_g + sum_g W_g
+    with T_g = sum_m S_{g,m} (group totals) and W_g = sum_m (m+1)*S_{g,m}
+    (within-group weighted sums).  The within-group pass runs all W*G lanes
+    in parallel (M steps); the group pass is G-1 steps of W-wide adds; M*U
+    is log2(M) doublings.  Input (L, W, B); output (L, W).
+    """
+    bx, by, bz = buckets
+    L, W, B = bx.shape
+    if B <= 64:
+        return bucket_reduce(curve, buckets)
+    M = 1 << (B.bit_length() // 2)  # sqrt-split; B = 2^(c-1)
+    G = B // M
+    r4 = tuple(a.reshape(L, W, G, M) for a in buckets)
+
+    def body(i, state):
+        running, acc = state
+        m = M - 1 - i
+        cur = tuple(
+            jax.lax.dynamic_index_in_dim(a, m, axis=3, keepdims=False)
+            for a in r4
+        )
+        running = _flat_add(curve, running, cur)
+        acc = _flat_add(curve, acc, running)
+        return (running, acc)
+
+    Tg, Wg = jax.lax.fori_loop(
+        0, M, body, (group.zero(curve, (W, G)), group.zero(curve, (W, G)))
+    )
+
+    # U = sum_g g*T_g via a running sum from the top group down
+    def body2(i, state):
+        r2, a2 = state
+        g = G - 1 - i
+        cur = tuple(
+            jax.lax.dynamic_index_in_dim(a, g, axis=2, keepdims=False)
+            for a in Tg
+        )
+        r2 = group.add(curve, r2, cur)
+        a2 = group.add(curve, a2, r2)
+        return (r2, a2)
+
+    _, U = jax.lax.fori_loop(
+        0, G - 1, body2, (group.zero(curve, (W,)), group.zero(curve, (W,)))
+    )
+    for _ in range(M.bit_length() - 1):
+        U = group.double(curve, U)
+
+    # sum_g W_g: pairwise tree over the G axis
+    t = G
+    wx, wy, wz = Wg
+    while t > 1:
+        half = t // 2
+        s = _flat_add(
+            curve,
+            (wx[:, :, :half], wy[:, :, :half], wz[:, :, :half]),
+            (wx[:, :, half : 2 * half], wy[:, :, half : 2 * half], wz[:, :, half : 2 * half]),
+        )
+        if t % 2:
+            wx = jnp.concatenate([s[0], wx[:, :, -1:]], axis=2)
+            wy = jnp.concatenate([s[1], wy[:, :, -1:]], axis=2)
+            wz = jnp.concatenate([s[2], wz[:, :, -1:]], axis=2)
+            t = half + 1
+        else:
+            wx, wy, wz = s
+            t = half
+    return group.add(curve, U, (wx[:, :, 0], wy[:, :, 0], wz[:, :, 0]))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def window_fold(curve: CurveSpec, window_sums, c: int):
     """Horner fold over windows, MSB -> LSB (ref accumulateAcrossChunks:1710).
@@ -232,10 +307,10 @@ def window_fold(curve: CurveSpec, window_sums, c: int):
 def _default_impl() -> str:
     import os
 
-    if os.environ.get("ZPTPU_MSM_IMPL") in ("pallas", "xla"):
+    if os.environ.get("ZPTPU_MSM_IMPL") in ("pallas", "pallas-sorted", "xla"):
         return os.environ["ZPTPU_MSM_IMPL"]
     try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        return "pallas-sorted" if jax.devices()[0].platform == "tpu" else "xla"
     except Exception:
         return "xla"
 
@@ -255,12 +330,14 @@ def msm(
 
     points:  affine (X, Y), each (L, N), Montgomery form.
     scalars: (Ls, N) uint32 16-bit limbs, standard (non-Montgomery) domain.
-    impl:    "pallas" (TPU kernel, small-c VMEM-resident buckets),
+    impl:    "pallas-sorted" (TPU kernel, sort-by-bucket + running-sum
+             sweep, any c — the large-window engine),
+             "pallas" (TPU kernel, small-c VMEM-resident buckets, c <= 6),
              "xla" (pure-jnp private-bucket scatter), or "auto"
-             (pallas on TPU backends, xla elsewhere).
+             (pallas-sorted on TPU backends, xla elsewhere).
     Returns a projective point (X, Y, Z), Montgomery form.
     """
-    from . import pl_bucket
+    from . import pl_bucket, pl_sorted
 
     X, Y = points
     N = X.shape[1]
@@ -269,6 +346,15 @@ def msm(
         impl = _default_impl()
     if max_bits is None:
         max_bits = Ls * 16
+
+    if impl == "pallas-sorted":
+        assert curve.ext == 1, "sorted engine: base field only (G2: use xla)"
+        if c is None:
+            c = windows.sorted_engine_window_size(N, max_bits)
+        digits = windows.signed_window_digits(scalars, c, max_bits)
+        buckets = pl_sorted.bucket_accumulate_sorted(curve, (X, Y), digits, c)
+        per_window = bucket_reduce_grouped(curve, buckets)
+        return window_fold(curve, per_window, c)
 
     if impl == "pallas":
         # small-c regime: buckets must fit VMEM (see pl_bucket docstring).

@@ -21,7 +21,10 @@ TPU-native design decisions:
     lanes on the 128-lane axis, so every field op fills the VPU grid.
 
 The digit semantics match windows.signed_window_digits exactly; results
-are bit-identical to the XLA path (same field core, same formulas).
+equal the XLA path as group elements (same field core, same formulas; the
+projective representatives differ because this kernel partitions points to
+lanes interleaved while the jnp path chunks them — addition order differs).
+Enforced by tests/test_kernels.py in Pallas interpret mode.
 """
 
 from __future__ import annotations

@@ -43,6 +43,23 @@ def default_window_size(n: int, max_bits: int = 256, mem_budget_bytes: int = 2 <
     return int(min(c, 13))
 
 
+def sorted_engine_window_size(n: int, max_bits: int = 132) -> int:
+    """Window size for the sorted-runs engine (pl_sorted).
+
+    Its per-point cost is one mixed add per window — independent of c — so
+    larger c is strictly fewer adds until the fixed per-window overhead
+    (sort + gather + segmented combine + 2*sqrt(B) reduce steps, together
+    ~O(N + sqrt(2^c))) stops paying for the window it removes.  The classic
+    Pippenger balance point c ~ log2(n) applies with a shallower penalty;
+    cap at 16 (the BASELINE sweep ceiling, matching the reference's table
+    top of 17, build_multiexp_opt.js:39-44).
+    """
+    if n <= 0:
+        return 1
+    c = max(2, n.bit_length() - 1 - 4)
+    return int(min(c, 16))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def raw_window_digits(scalars: jnp.ndarray, c: int, max_bits: int) -> jnp.ndarray:
     """Extract unsigned c-bit windows from 16-bit-limb scalars.

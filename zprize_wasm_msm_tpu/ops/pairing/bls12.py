@@ -205,19 +205,101 @@ def _hard_exp_bits(q: int, r: int) -> Tuple[int, ...]:
     return tuple((e >> (n - 1 - i)) & 1 for i in range(n))
 
 
+@functools.lru_cache(maxsize=None)
+def _naf_digits_msb(n: int) -> Tuple[int, ...]:
+    """Non-adjacent form of n > 0, MSB-first (ref naf() helper used by
+    buildCyclotomicExp, build_bls12381.js:1117)."""
+    digs = []
+    while n:
+        if n & 1:
+            d = 2 - (n % 4)  # 1 or -1
+            digs.append(d)
+            n -= d
+        else:
+            digs.append(0)
+        n >>= 1
+    return tuple(reversed(digs))
+
+
+def _cyclotomic_exp(tw: Tower, f, e_abs: int, negative: bool):
+    """f^(±e_abs) for f in the cyclotomic subgroup: NAF square-and-multiply
+    with Granger-Scott squarings; inversion is conjugation there
+    (ref __cyclotomicExp_w0, build_bls12381.js:1117-1178)."""
+    digs = _naf_digits_msb(e_abs)
+    assert digs[0] == 1
+    darr = jnp.asarray(np.array(digs, np.int32))
+    inv = tw.f12_conjugate(f)
+
+    def body(i, res):
+        res = tw.f12_cyclotomic_square(res)
+        m1 = tw.f12_mul(res, f)
+        m2 = tw.f12_mul(res, inv)
+        d = darr[i]
+        return jnp.where((d == 1)[None], m1, jnp.where((d == -1)[None], m2, res))
+
+    res = jax.lax.fori_loop(1, len(digs), body, f)
+    return tw.f12_conjugate(res) if negative else res
+
+
+def _frob_k(tw: Tower, a, k: int):
+    for _ in range(k):
+        a = tw.f12_frobenius(a)
+    return a
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def final_exponentiation(ps: PairingSpec, f):
-    """f^((q^12 - 1) / r) (ref finalExponentiation:1181).
+    """f^((q^12 - 1) / r) (ref finalExponentiation:1181-1290).
 
     Easy part: f^(q^6-1) = conj(f) * f^-1, then ^(q^2+1) via frobenius^2.
-    Hard part: plain square-and-multiply by (q^4 - q^2 + 1)/r.
+    Hard part: the reference's zkcrypto-style addition chain — four
+    cyclotomic exponentiations by the BLS parameter w0 = |x| plus frobenius
+    powers — ~260 cyclotomic squarings instead of ~1505 generic
+    square-and-multiply steps (build_bls12381.js:1183-1290, w0 at :267).
     """
     tw = ps.tower
-    q = ps.g1.q
     # easy part
+    t2 = tw.f12_mul(tw.f12_conjugate(f), tw.f12_inverse(f))
+    t2 = tw.f12_mul(_frob_k(tw, t2, 2), t2)
+
+    w0 = abs(ps.x)
+    neg = ps.x < 0
+    cyc_exp = lambda a: _cyclotomic_exp(tw, a, w0, neg)
+
+    # hard part (formula sequence of build_bls12381.js:1229-1289)
+    t1 = tw.f12_conjugate(tw.f12_cyclotomic_square(t2))
+    t3 = cyc_exp(t2)
+    t4 = tw.f12_cyclotomic_square(t3)
+    t5 = tw.f12_mul(t1, t3)
+    t1 = cyc_exp(t5)
+    t0 = cyc_exp(t1)
+    t6 = cyc_exp(t0)
+    t6 = tw.f12_mul(t6, t4)
+    t4 = cyc_exp(t6)
+    t5 = tw.f12_conjugate(t5)
+    t4 = tw.f12_mul(tw.f12_mul(t4, t5), t2)
+    t5 = tw.f12_conjugate(t2)
+    t1 = tw.f12_mul(t1, t2)
+    t1 = _frob_k(tw, t1, 3)
+    t6 = tw.f12_mul(t6, t5)
+    t6 = _frob_k(tw, t6, 1)
+    t3 = tw.f12_mul(t3, t0)
+    t3 = _frob_k(tw, t3, 2)
+    t3 = tw.f12_mul(t3, t1)
+    t3 = tw.f12_mul(t3, t6)
+    return tw.f12_mul(t3, t4)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def final_exponentiation_plain(ps: PairingSpec, f):
+    """Reference-free oracle: plain square-and-multiply by the hard
+    exponent (q^4 - q^2 + 1)/r after the same easy part.  Kept as the
+    differential check for the fast chain (and as the general-curve
+    fallback; the w0 chain is BLS-family-specific)."""
+    tw = ps.tower
+    q = ps.g1.q
     t = tw.f12_mul(tw.f12_conjugate(f), tw.f12_inverse(f))
-    t = tw.f12_mul(tw.f12_frobenius(tw.f12_frobenius(t)), t)
-    # hard part
+    t = tw.f12_mul(_frob_k(tw, t, 2), t)
     bits = _hard_exp_bits(q, ps.g1.r)
     bit_arr = jnp.asarray(np.array(bits, np.uint32))
 
@@ -245,11 +327,15 @@ def pairing_eq(ps: PairingSpec, Ps, Qs):
     """
     tw = ps.tower
     f = miller_loop(ps, Ps, Qs)  # (12L, N)
-    N = f.shape[1]
-    acc = f[:, 0]
-    for i in range(1, N):
-        acc = tw.f12_mul(acc, f[:, i])
-    e = final_exponentiation(ps, acc[:, None])
+    # log-depth product tree over the pair axis (one vectorized f12_mul per
+    # level, no per-N recompilation beyond the shape itself)
+    n = f.shape[1]
+    while n > 1:
+        half = n // 2
+        prod = tw.f12_mul(f[:, :half], f[:, half : 2 * half])
+        f = jnp.concatenate([prod, f[:, -1:]], axis=1) if n % 2 else prod
+        n = half + (n % 2)
+    e = final_exponentiation(ps, f)
     one = tw.f12_one((1,))
     return jnp.all(e == one)
 

@@ -34,14 +34,21 @@ from ...utils.limbs import ints_to_limbs
 
 
 @functools.lru_cache(maxsize=None)
+def _smallest_nonresidue(q: int) -> int:
+    """Smallest quadratic nonresidue mod q (codegen-time search, as the
+    reference bakes in — build_fft.js / build_f1m.js share the same loop)."""
+    g = 2
+    while pow(g, (q - 1) // 2, q) == 1:
+        g += 1
+    return g
+
+
+@functools.lru_cache(maxsize=None)
 def _root_of_unity(r: int, n: int) -> int:
     """Primitive n-th root of unity in Fr (n a power of two)."""
     assert (r - 1) % n == 0, f"no {n}-th root of unity mod {r}"
     # smallest generator of the 2-Sylow subgroup, as the reference bakes in
-    g = 2
-    while pow(g, (r - 1) // 2, r) == 1:
-        g += 1
-    return pow(g, (r - 1) // n, r)
+    return pow(_smallest_nonresidue(r), (r - 1) // n, r)
 
 
 @functools.lru_cache(maxsize=None)
@@ -185,10 +192,7 @@ def _shift_consts(spec_q: int, total_bits: int):
     nonresidue, shiftToM = shift^(2^totalBits), sConst = 1/(1 - shiftToM).
     """
     q = spec_q
-    nr = 2
-    while pow(nr, q >> 1, q) == 1:
-        nr += 1
-    shift = nr * nr % q
+    shift = _smallest_nonresidue(q) ** 2 % q
     shift_to_m = pow(shift, 1 << total_bits, q)
     s_const = mod_inv((1 - shift_to_m) % q, q)
     return shift_to_m, s_const

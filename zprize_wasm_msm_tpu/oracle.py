@@ -198,7 +198,10 @@ class Curve:
         return self.add(p, p)
 
     def mul(self, p: Affine, k: int) -> Affine:
-        k %= self.r
+        """k*P by double-and-add over the FULL scalar — no k mod r shortcut,
+        so differential tests exercise non-canonical (>= r) scalars and
+        points outside the order-r subgroup end-to-end."""
+        assert k >= 0, "negative scalar: negate the point instead"
         acc: Affine = None
         add = p
         while k:
