@@ -20,10 +20,10 @@ import pytest
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zprize_wasm_msm_tpu.models.curves import toy
+from zprize_wasm_msm_tpu.models.curves import toy, toy_g2
 from zprize_wasm_msm_tpu.ops.curve import group, kgroup
-from zprize_wasm_msm_tpu.ops.field import kcore, kernels, mont
-from zprize_wasm_msm_tpu.ops.msm import pippenger, pl_bucket, windows
+from zprize_wasm_msm_tpu.ops.field import kcore, kernels, ktower, mont
+from zprize_wasm_msm_tpu.ops.msm import pippenger, pl_bucket, pl_sorted, windows
 from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs
 
 U32 = jnp.uint32
@@ -231,3 +231,171 @@ def test_field_kernels_batch_ops(rng):
         gs = np.asarray(kernels.mont_square(FQ, a))
     np.testing.assert_array_equal(gm, np.asarray(mont.mont_mul(FQ, a, b)))
     np.testing.assert_array_equal(gs, np.asarray(mont.mont_square(FQ, a)))
+
+
+# ---------------------------------------------------------------------------
+# ktower: the kernel Fq2 backend (G2-on-TPU support)
+# ---------------------------------------------------------------------------
+
+KF2 = toy_g2.kfield
+F2T = toy_g2.field  # jnp tower backend
+L2 = F2T.elem_len
+
+
+def rand_f2_elems(rng, n):
+    """Random Fq2 elements as flat (2L, n) Montgomery stacks."""
+    q = toy_g2.q
+    vals = [
+        (int(rng.integers(0, q)), int(rng.integers(0, q))) for _ in range(n)
+    ]
+    cols = [F2T.const(v) for v in vals]
+    return jnp.stack(cols, axis=1)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "neg"])
+def test_ktower_fq2_matches_tower(rng, op):
+    """Kernel Fq2 ops ≡ ops.field.tower.Fq2, bit-for-bit."""
+    n = 16
+    a = rand_f2_elems(rng, n)
+    b = rand_f2_elems(rng, n)
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        av, bv = a_ref[:], b_ref[:]
+        if op == "add":
+            o_ref[:] = KF2.add(av, bv)
+        elif op == "sub":
+            o_ref[:] = KF2.sub(av, bv)
+        elif op == "mul":
+            o_ref[:] = KF2.mul(acc_ref, av, bv)
+        elif op == "neg":
+            o_ref[:] = KF2.neg(av)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L2, n), U32),
+            scratch_shapes=[pltpu.VMEM((KF2.acc_rows, n), U32)],
+        )(a, b)
+    ref = {
+        "add": lambda: F2T.add(a, b),
+        "sub": lambda: F2T.sub(a, b),
+        "mul": lambda: F2T.mul(a, b),
+        "neg": lambda: F2T.neg(a),
+    }[op]()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_kgroup_g2_matches_group(rng):
+    """kgroup over Fq2 (toy_g2) ≡ ops.curve.group, incl. identities."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
+
+    oc = OracleCurve(
+        q=toy_g2.q, a=toy_g2.a, b=toy_g2.b, r=toy_g2.r,
+        gx=toy_g2.gx, gy=toy_g2.gy, field=F2(toy_g2.q, toy_g2.nr),
+    )
+    n = 8
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy_g2.r))) for _ in range(n - 1)]
+    pts.append(None)
+    qts = [oc.mul(oc.g, int(rng.integers(1, toy_g2.r))) for _ in range(n - 2)]
+    qts.append(pts[0])  # duplicate -> doubling case inside add
+    qts.append(None)
+
+    def to_dev(ps):
+        xs = [F2T.const(p[0] if p else 0) for p in ps]
+        ys = [F2T.const(p[1] if p else 0) for p in ps]
+        return jnp.stack(xs, axis=1), jnp.stack(ys, axis=1)
+
+    PX, PY = to_dev(pts)
+    QX, QY = to_dev(qts)
+    P = group.from_affine(toy_g2, (PX, PY))
+    Q = group.from_affine(toy_g2, (QX, QY))
+
+    def kernel(mode, px, py, pz, qx, qy, qz, ox, oy, oz, acc_ref):
+        p = (px[:], py[:], pz[:])
+        if mode == "add":
+            r = kgroup.kadd(toy_g2, acc_ref, p, (qx[:], qy[:], qz[:]))
+        elif mode == "add_mixed":
+            r = kgroup.kadd_mixed(toy_g2, acc_ref, p, (qx[:], qy[:]))
+        else:
+            r = kgroup.kdouble(toy_g2, acc_ref, p)
+        ox[:], oy[:], oz[:] = r
+
+    def run(mode, p, q3):
+        out = jax.ShapeDtypeStruct((L2, n), U32)
+        with pltpu.force_tpu_interpret_mode():
+            return pl.pallas_call(
+                functools.partial(kernel, mode),
+                out_shape=(out, out, out),
+                scratch_shapes=[pltpu.VMEM((KF2.acc_rows, n), U32)],
+            )(*p, *q3)
+
+    for mode, ref, qin in [
+        ("add", group.add(toy_g2, P, Q), Q),
+        ("add_mixed", group.add_mixed(toy_g2, P, (QX, QY)), (QX, QY, Q[2])),
+        ("double", group.double(toy_g2, P), Q),
+    ]:
+        got = run(mode, P, qin)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=mode)
+
+
+# ---------------------------------------------------------------------------
+# pl_sorted: the large-window sorted-runs engine (G1 and G2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("c", [4, 7])
+def test_sorted_engine_matches_oracle_g1(rng, c):
+    """msm(impl='pallas-sorted') on the toy curve ≡ oracle and ≡ xla impl.
+
+    Exercises all five stages (sort/sweep/compact/combine/scatter) in
+    interpret mode, including duplicate buckets, zero scalars, and the
+    empty-bucket identity fix."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    from tests.test_msm import result_to_affine
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n = 70
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    ks[0] = 0
+    ks[1] = ks[2] = 5  # forced duplicate digits -> multi-point runs
+    X = jnp.asarray(ints_to_limbs([FQ.to_mont_int(p[0]) for p in pts], L))
+    Y = jnp.asarray(ints_to_limbs([FQ.to_mont_int(p[1]) for p in pts], L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy, (X, Y), sc, c=c, max_bits=16, impl="pallas-sorted"
+        )
+    expected = oc.msm(pts, ks)
+    assert result_to_affine(toy, got) == expected
+
+
+def test_sorted_engine_matches_oracle_g2(rng):
+    """G2 MSM through the sorted-runs kernels (the path the reference's
+    G1-hardcoded engine cannot run, build_multiexp_opt.js:27-30)."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
+
+    oc = OracleCurve(
+        q=toy_g2.q, a=toy_g2.a, b=toy_g2.b, r=toy_g2.r,
+        gx=toy_g2.gx, gy=toy_g2.gy, field=F2(toy_g2.q, toy_g2.nr),
+    )
+    n = 40
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy_g2.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy_g2.r)) for _ in range(n)]
+    ks[0] = 0
+    xs = jnp.stack([F2T.const(p[0]) for p in pts], axis=1)
+    ys = jnp.stack([F2T.const(p[1]) for p in pts], axis=1)
+    sc = ints_to_limbs(ks, toy_g2.fr.n_limbs)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy_g2, (xs, ys), sc, c=5, max_bits=20, impl="pallas-sorted"
+        )
+    gx, gy = group.to_affine(toy_g2, got)
+    gxh = F2T.to_host(gx)[0]
+    gyh = F2T.to_host(gy)[0]
+    expected = oc.msm(pts, ks)
+    got_pt = None if (gxh == (0, 0) and gyh == (0, 0)) else (gxh, gyh)
+    assert got_pt == expected

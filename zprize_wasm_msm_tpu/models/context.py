@@ -30,14 +30,14 @@ class CurveContext:
     # ---- marshalling (role of pb.set/pb.get) -----------------------------
 
     def points_to_device(self, pts: Sequence[Optional[Tuple[int, int]]]):
-        """Affine python points (None = infinity) -> Montgomery limb batch."""
-        fq = self.spec.fq
-        xs = [0 if p is None else fq.to_mont_int(p[0]) for p in pts]
-        ys = [0 if p is None else fq.to_mont_int(p[1]) for p in pts]
-        return (
-            jnp.asarray(ints_to_limbs(xs, fq.n_limbs)),
-            jnp.asarray(ints_to_limbs(ys, fq.n_limbs)),
-        )
+        """Affine python points (None = infinity) -> Montgomery limb batch.
+
+        Coordinates are ints for ext=1, (c0, c1) tuples for ext=2 — the
+        coordinate-field backend handles both uniformly."""
+        F = self.spec.field
+        xs = [F.const(0 if p is None else p[0]) for p in pts]
+        ys = [F.const(0 if p is None else p[1]) for p in pts]
+        return (jnp.stack(xs, axis=1), jnp.stack(ys, axis=1))
 
     def scalars_to_device(self, ks: Sequence[int]) -> jnp.ndarray:
         fr = self.spec.fr
@@ -45,12 +45,13 @@ class CurveContext:
 
     def result_to_affine(self, res) -> Optional[Tuple[int, int]]:
         """Projective device point -> python affine (None = infinity)."""
-        fq = self.spec.fq
+        F = self.spec.field
         r = tuple(c[:, None] if c.ndim == 1 else c for c in res)
         x, y = group.to_affine(self.spec, r)
-        xi = fq.from_mont_int(limbs_to_ints(np.asarray(x))[0])
-        yi = fq.from_mont_int(limbs_to_ints(np.asarray(y))[0])
-        return None if (xi == 0 and yi == 0) else (xi, yi)
+        xi = F.to_host(x)[0]
+        yi = F.to_host(y)[0]
+        zero = 0 if self.spec.ext == 1 else (0, 0)
+        return None if (xi == zero and yi == zero) else (xi, yi)
 
     # ---- MSM (the reference's g1m_multiexp_multiExp) ---------------------
 

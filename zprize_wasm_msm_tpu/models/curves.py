@@ -227,6 +227,26 @@ toy_a = CurveSpec(
     glv=None,
 )
 
+# ext=2 toy: a genuine sextic-twist-style G2 analog at 14-bit size.
+# q = 7 mod 12 (so u^2 + 1 is irreducible AND a=0 curves are ordinary);
+# E'(Fq2): y^2 = x^3 + (4932 + 6901 u) has order 97 * 1023973 with the
+# ~2^20 prime subgroup OUTSIDE both the base-curve and quadratic-twist
+# images, so generator multiples have fully generic Fq2 coordinates.
+# Derived host-side the same way as the real curve constants (trace of
+# E: y^2 = x^3 + b over Fq -> the six sextic twist orders of E(Fq2)).
+toy_g2 = CurveSpec(
+    name="toy_g2",
+    q=9967,
+    r=1023973,  # prime; cofactor 97
+    a=0,
+    b=(4932, 6901),
+    gx=(7366, 4023),
+    gy=(2623, 1050),
+    glv=None,
+    ext=2,
+    nr=-1,
+)
+
 # FFT-friendly toy: r - 1 = 2^7 * 21, so Fr has 2-adicity 7 (group/scalar
 # FFTs up to size 128); same generic kernels, 13-bit field.
 toy_fft = CurveSpec(

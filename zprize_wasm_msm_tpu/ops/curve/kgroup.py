@@ -4,14 +4,16 @@ Mirrors ops.curve.group (RCB16 complete projective formulas for a=0;
 reference lineage wasmcurves/src/build_curve_jacobian_a0.js addMixed:661,
 add:541, double:291) but on stacked kernel values with a shared VMEM
 multiply accumulator.  Bit-identical to the jnp path.
+
+Generic over the coordinate field via ops.field.ktower (the kernel twin of
+the reference's field-prefix parameterization,
+build_curve_jacobian_a0.js:29): the SAME kernel code runs G1 (Fq) and G2
+(Fq2) — including inside the sorted-runs MSM engine, which is what puts
+G2 MSM on TPU.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
-
-from ..field import kcore
 from .spec import CurveSpec
 
 
@@ -20,10 +22,10 @@ def kzero_point(curve: CurveSpec, batch_shape):
 
     (Two independent zero constants: jnp.array-copying one of them emits a
     `copy` primitive Mosaic cannot lower inside pl.when branches.)"""
-    fq = curve.fq
-    zeros = kcore.kconst(fq, [0] * fq.n_limbs, batch_shape)
-    zeros2 = kcore.kconst(fq, [0] * fq.n_limbs, batch_shape)
-    one = kcore.kconst(fq, fq.one_mont_limbs, batch_shape)
+    kf = curve.kfield
+    zeros = kf.zeros(batch_shape)
+    zeros2 = kf.zeros(batch_shape)
+    one = kf.one(batch_shape)
     return (zeros, one, zeros2)
 
 
@@ -31,16 +33,17 @@ def kadd_mixed(curve: CurveSpec, acc_ref, p, q):
     """Complete projective + affine addition (RCB16 alg. 8, a=0; 11M).
 
     p: (X1, Y1, Z1) stacked values; q: (X2, Y2) affine, (0,0) = identity.
-    acc_ref: (2L+2, *batch) VMEM scratch for the sequential multiplies.
+    acc_ref: (2L+2, *batch) VMEM scratch for the sequential multiplies
+    (shared across extension components — see ktower.KFq2.mul).
     """
-    fq = curve.fq
+    kf = curve.kfield
     X1, Y1, Z1 = p
     X2, Y2 = q
     batch = X1.shape[1:]
-    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
-    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
-    fadd = lambda a, b: kcore.kadd(fq, a, b)
-    fsub = lambda a, b: kcore.ksub(fq, a, b)
+    b3 = kf.const(curve.b3_flat_limbs, batch)
+    mul = lambda a, b: kf.mul(acc_ref, a, b)
+    fadd = kf.add
+    fsub = kf.sub
 
     t0 = mul(X1, X2)
     t1 = mul(Y1, Y2)
@@ -59,24 +62,24 @@ def kadd_mixed(curve: CurveSpec, acc_ref, p, q):
     Y3 = fadd(mul(t1l, Z3l), mul(Yb, t0_3))
     Z3 = fadd(mul(Z3l, t4), mul(t0_3, t3))
 
-    qz = kcore.kis_zero(fq, X2) & kcore.kis_zero(fq, Y2)
+    qz = kf.is_zero(X2) & kf.is_zero(Y2)
     return (
-        kcore.kselect(qz, X1, X3),
-        kcore.kselect(qz, Y1, Y3),
-        kcore.kselect(qz, Z1, Z3),
+        kf.select(qz, X1, X3),
+        kf.select(qz, Y1, Y3),
+        kf.select(qz, Z1, Z3),
     )
 
 
 def kadd(curve: CurveSpec, acc_ref, p, q):
     """Complete projective addition (RCB16 alg. 7, a=0; 12M)."""
-    fq = curve.fq
+    kf = curve.kfield
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     batch = X1.shape[1:]
-    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
-    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
-    fadd = lambda a, b: kcore.kadd(fq, a, b)
-    fsub = lambda a, b: kcore.ksub(fq, a, b)
+    b3 = kf.const(curve.b3_flat_limbs, batch)
+    mul = lambda a, b: kf.mul(acc_ref, a, b)
+    fadd = kf.add
+    fsub = kf.sub
 
     t0 = mul(X1, X2)
     t1 = mul(Y1, Y2)
@@ -102,13 +105,13 @@ def kadd(curve: CurveSpec, acc_ref, p, q):
 
 def kdouble(curve: CurveSpec, acc_ref, p):
     """Complete projective doubling (RCB16 alg. 9, a=0; 6M+2S)."""
-    fq = curve.fq
+    kf = curve.kfield
     X, Y, Z = p
     batch = X.shape[1:]
-    b3 = kcore.kconst(fq, curve.b3_mont_limbs, batch)
-    mul = lambda a, b: kcore.kmul(fq, acc_ref, a, b)
-    fadd = lambda a, b: kcore.kadd(fq, a, b)
-    fsub = lambda a, b: kcore.ksub(fq, a, b)
+    b3 = kf.const(curve.b3_flat_limbs, batch)
+    mul = lambda a, b: kf.mul(acc_ref, a, b)
+    fadd = kf.add
+    fsub = kf.sub
 
     t0 = mul(Y, Y)
     t1 = mul(Y, Z)

@@ -92,6 +92,28 @@ class CurveSpec:
         return int_to_limbs(self.fq.to_mont_int(3 * self.b), self.fq.n_limbs)
 
     @cached_property
+    def kfield(self):
+        """The kernel coordinate-field backend (ops.field.ktower) — the
+        Pallas-side twin of ``field``."""
+        from ..field import ktower
+
+        return ktower.kfield(self)
+
+    @cached_property
+    def b3_flat_limbs(self) -> Tuple[int, ...]:
+        """3*b as flat Montgomery limbs over the coordinate field
+        (ext*L entries): the layout ops.field.ktower consts use."""
+        b3 = self.b3
+        comps = (b3,) if isinstance(b3, int) else tuple(b3)
+        out = []
+        for comp in comps:
+            out.extend(
+                int(v)
+                for v in int_to_limbs(self.fq.to_mont_int(comp), self.fq.n_limbs)
+            )
+        return tuple(out)
+
+    @cached_property
     def b_mont_limbs(self) -> np.ndarray:
         return int_to_limbs(self.fq.to_mont_int(self.b), self.fq.n_limbs)
 

@@ -348,7 +348,9 @@ def msm(
         max_bits = Ls * 16
 
     if impl == "pallas-sorted":
-        assert curve.ext == 1, "sorted engine: base field only (G2: use xla)"
+        # field-generic: the kernels run G1 (Fq) and G2 (Fq2) through the
+        # same code path (ops.field.ktower) — the reference's optimized
+        # engine is G1-hardcoded (build_multiexp_opt.js:27-30); fixed here.
         if c is None:
             c = windows.sorted_engine_window_size(N, max_bits)
         digits = windows.signed_window_digits(scalars, c, max_bits)

@@ -83,7 +83,6 @@ def _sweep_kernel(curve, xs_ref, ys_ref, meta_ref,
     meta bit0 = run boundary (flush after this add); bit1 = zero digit
     (point is identity; its adds pass through).
     """
-    fq = curve.fq
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -114,8 +113,10 @@ def _sweep_kernel(curve, xs_ref, ys_ref, meta_ref,
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def _sweep(curve: CurveSpec, xs, ys, meta, steps: int):
     """xs/ys: (steps, L, 8, 128); meta: (steps, 8, 128) int32.
-    Returns per-step partial-sum slots (ox, oy, oz), same shape as xs."""
+    Returns per-step partial-sum slots (ox, oy, oz), same shape as xs.
+    L is the coordinate-field element length (ext * base limbs)."""
     L = xs.shape[1]
+    acc_rows = curve.kfield.acc_rows
     out_shape = jax.ShapeDtypeStruct((steps, L, 8, 128), U32)
     spec_pt = pl.BlockSpec((1, L, 8, 128), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -131,7 +132,7 @@ def _sweep(curve: CurveSpec, xs, ys, meta, steps: int):
             pltpu.VMEM((L, 8, 128), U32),
             pltpu.VMEM((L, 8, 128), U32),
             pltpu.VMEM((L, 8, 128), U32),
-            pltpu.VMEM((2 * L + 2, 8, 128), U32),
+            pltpu.VMEM((acc_rows, 8, 128), U32),
         ],
     )(xs, ys, meta)
 
@@ -187,8 +188,8 @@ def _segscan(curve: CurveSpec, px, py, pz, seg, rounds: int):
     Returns the inclusive segmented scan (last entry of each segment holds
     the segment total)."""
     L, Wp, K = px.shape
+    acc_rows = curve.kfield.acc_rows
     out = jax.ShapeDtypeStruct((L, Wp, K), U32)
-    whole = lambda *_: tuple(0 for _ in range(3))
     spec3 = pl.BlockSpec((L, Wp, K), lambda r: (0, 0, 0), memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((Wp, K), lambda r: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -202,7 +203,7 @@ def _segscan(curve: CurveSpec, px, py, pz, seg, rounds: int):
             pltpu.VMEM((L, Wp, K), U32),
             pltpu.VMEM((L, Wp, K), U32),
             pltpu.VMEM((Wp, K), I32),
-            pltpu.VMEM((2 * L + 2, Wp, K), U32),
+            pltpu.VMEM((acc_rows, Wp, K), U32),
         ],
     )(px, py, pz, seg)
 
@@ -281,7 +282,7 @@ def _accumulate_group(curve: CurveSpec, X, Y, negY, dig, c: int):
         # invalid slots -> identity point, sentinel segment
         zero = jnp.zeros_like(px)
         one = jnp.broadcast_to(
-            jnp.asarray(curve.fq.one_mont_limbs, U32)[:, None], px.shape
+            jnp.asarray(curve.kfield.one_mont_limbs, U32)[:, None], px.shape
         )
         px = jnp.where(valid[None], px, zero)
         py = jnp.where(valid[None], py, one)
@@ -294,10 +295,10 @@ def _accumulate_group(curve: CurveSpec, X, Y, negY, dig, c: int):
     seg = jnp.stack([p[3] for p in pieces], axis=0).astype(I32)  # (Wp, K)
 
     # ---- stage 4: merge each bucket's <= T pieces -------------------------
-    # VMEM budget: ~9 value arrays of (L, Wp2, K) + the (2L+2, Wp2, K)
+    # VMEM budget: ~9 value arrays of (L, Wp2, K) + the (acc_rows, Wp2, K)
     # multiply scratch must fit ~12 MB -> cap the windows per kernel call
     rounds = max(1, (T - 1).bit_length())
-    per_window = (9 * L + 2 * L + 2) * K * 4
+    per_window = (9 * L + curve.kfield.acc_rows) * K * 4
     Wp2 = max(1, (12 << 20) // per_window)
     if Wp2 < Wp:
         chunks = []
@@ -336,7 +337,7 @@ def _accumulate_group(curve: CurveSpec, X, Y, negY, dig, c: int):
     # the whole row is zero
     empty = (bx == 0).all(axis=0) & (by == 0).all(axis=0) & (bz == 0).all(axis=0)
     one = jnp.broadcast_to(
-        jnp.asarray(curve.fq.one_mont_limbs, U32)[:, None, None], by.shape
+        jnp.asarray(curve.kfield.one_mont_limbs, U32)[:, None, None], by.shape
     )
     by = jnp.where(empty[None], one, by)
     return bx, by, bz
@@ -356,13 +357,12 @@ def bucket_accumulate_sorted(
 ):
     """Full-window bucket accumulation via the sorted-runs engine.
 
-    points: affine (X, Y), each (L, N) Montgomery.
+    points: affine (X, Y), each (L, N) Montgomery, L = field.elem_len
+            (so G2 points over Fq2 pass through with L = 2 * base limbs).
     digits: (W, N) int32 signed digits (windows.signed_window_digits).
     Returns bucket sums (X, Y, Z), each (L, W, B), B = 2^(c-1) — same
     contract as pippenger.bucket_accumulate_c / pl_bucket + lane reduce.
     """
-    from ..field import mont
-
     X, Y = points
     L = X.shape[0]
     W, N = digits.shape
@@ -375,7 +375,7 @@ def bucket_accumulate_sorted(
         digits = jnp.concatenate(
             [digits, jnp.zeros((W, pad), digits.dtype)], axis=1
         )
-    negY = mont.neg(curve.fq, Y)
+    negY = curve.field.neg(Y)
 
     parts = []
     w0 = 0

@@ -32,13 +32,31 @@ from ..field.tower import Fq2
 
 @dataclass(frozen=True)
 class Tower:
-    """Fq6/Fq12 ops over a base prime field with ξ = 1 + u (nr = -1)."""
+    """Fq6/Fq12 ops over a base prime field, parameterized by the sextic
+    non-residue ξ ∈ Fq2 (Fq2 = Fq[u]/(u^2+1)).
+
+    ξ = 1 + u for BLS12-381 (ref build_bls12381.js build_mulNR2:195);
+    ξ = 9 + u for BN254 (ref src/bn128/build_bn128.js pNonResidueF6:185).
+    """
 
     spec: FieldSpec
+    xi: Tuple[int, int] = (1, 1)
 
     @cached_property
     def f2(self) -> Fq2:
         return Fq2(self.spec, -1)
+
+    @cached_property
+    def _xi_mont_flat(self):
+        from ...utils.bigint import int_to_limbs
+
+        L = self.spec.n_limbs
+        out = []
+        for c in self.xi:
+            out.extend(
+                int(v) for v in int_to_limbs(self.spec.to_mont_int(c % self.spec.q), L)
+            )
+        return np.asarray(out, np.uint32)
 
     @property
     def L2(self) -> int:
@@ -61,12 +79,29 @@ class Tower:
     # -- Fq2 helpers --------------------------------------------------------
 
     def f2_mul_xi(self, a):
-        """ξ * a = (1+u)(a0 + a1 u) = (a0 - a1) + (a0 + a1) u
-        (ref build_bls12381.js build_mulNR2:195)."""
+        """ξ * a.  Fast path for ξ = 1+u: (a0 - a1) + (a0 + a1) u
+        (ref build_bls12381.js build_mulNR2:195); general ξ via one Fq2
+        multiply by the embedded constant (ref bn128 build_mulNR6:202)."""
         s = self.spec
         L = s.n_limbs
-        a0, a1 = a[:L], a[L:]
-        return jnp.concatenate([mont.sub(s, a0, a1), mont.add(s, a0, a1)])
+        if self.xi == (1, 1):
+            a0, a1 = a[:L], a[L:]
+            return jnp.concatenate([mont.sub(s, a0, a1), mont.add(s, a0, a1)])
+        batch = a.shape[1:]
+        xi = jnp.broadcast_to(
+            jnp.asarray(self._xi_mont_flat).reshape((2 * L,) + (1,) * len(batch)),
+            a.shape,
+        )
+        return self.f2.mul(xi, a)
+
+    def f2_scale_fq(self, a2, s1):
+        """Scale an Fq2 batch componentwise by an Fq batch (the reference's
+        f2m_mul1 over the base field, build_f2m.js)."""
+        s = self.spec
+        L = s.n_limbs
+        return jnp.concatenate(
+            [mont.mont_mul(s, a2[:L], s1), mont.mont_mul(s, a2[L:], s1)]
+        )
 
     # -- Fq6 ----------------------------------------------------------------
 
