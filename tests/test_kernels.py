@@ -399,3 +399,39 @@ def test_sorted_engine_matches_oracle_g2(rng):
     expected = oc.msm(pts, ks)
     got_pt = None if (gxh == (0, 0) and gyh == (0, 0)) else (gxh, gyh)
     assert got_pt == expected
+
+
+def test_segscan_xla_matches_pallas(rng):
+    """The large-c XLA combine fallback ≡ the VMEM segscan kernel on the
+    same (pieces, segments) input (stage 4 of the sorted engine)."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    Wp, K, T = 2, 128, 8
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(Wp * K)]
+    px = jnp.asarray(
+        ints_to_limbs([FQ.to_mont_int(p[0]) for p in pts], L)
+    ).reshape(L, Wp, K)
+    py = jnp.asarray(
+        ints_to_limbs([FQ.to_mont_int(p[1]) for p in pts], L)
+    ).reshape(L, Wp, K)
+    pz = jnp.broadcast_to(
+        jnp.asarray(ints_to_limbs([FQ.to_mont_int(1)], L)), (L, Wp * K)
+    ).reshape(L, Wp, K)
+    # sorted segment ids with runs of length <= T
+    segs = []
+    for _ in range(Wp):
+        row, s = [], 0
+        while len(row) < K:
+            run = int(rng.integers(1, T + 1))
+            row.extend([s] * min(run, K - len(row)))
+            s += 1
+        segs.append(row)
+    seg = jnp.asarray(np.array(segs, np.int32))
+    rounds = (T - 1).bit_length()
+
+    with pltpu.force_tpu_interpret_mode():
+        want = pl_sorted._segscan(toy, px, py, pz, seg, rounds)
+    got = pl_sorted._segscan_xla(toy, px, py, pz, seg, rounds)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -285,6 +285,55 @@ class Fq2:
     def select(self, mask, a, b):
         return jnp.where(mask[None], a, b)
 
+    def sign(self, a):
+        """sign(a1) if a1 != 0 else sign(a0) (ref build_f2m.js sign:411)."""
+        a0, a1 = self._split(a)
+        s1 = mont.sign(self.spec, a1)
+        return jnp.where(s1 != 0, s1, mont.sign(self.spec, a0))
+
+    def exp_const(self, a, e: int):
+        """a^e for a host-known exponent (MSB-first ladder, the Fq2
+        instantiation of build_timesscalar.js — ref f2m_exp wiring)."""
+        import jax
+
+        if e == 0:
+            return self.one(self.batch_shape(a))
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], np.uint32)
+        )
+
+        def body(i, acc):
+            acc = self.square(acc)
+            return self.select(bits[i] == 1, self.mul(acc, a), acc)
+
+        return jax.lax.fori_loop(1, nbits, body, a)
+
+    def sqrt(self, a):
+        """Square root in Fq2 for q ≡ 3 (mod 4) — algorithm 9 (adjusted)
+        of eprint 2012/685, exactly the reference's f2m sqrt
+        (build_f2m.js buildSqrt:453-522).  Returns (root, has_root mask);
+        branch-free (the reference traps on non-residues instead).
+        """
+        s = self.spec
+        q = s.q
+        assert q % 4 == 3, "Fq2 sqrt implemented for q = 3 mod 4 (ref parity)"
+        batch = self.batch_shape(a)
+        a1 = self.exp_const(a, (q - 3) // 4)
+        alpha = self.mul(self.square(a1), a)
+        x0 = self.mul(a1, a)
+        neg_one = self.neg(self.one(batch))
+        alpha_is_m1 = self.eq(alpha, neg_one)
+        # branch 1: x = x0 * u
+        u = self.const((0, 1), batch)
+        xa = self.mul(u, x0)
+        # branch 2: x = (1 + alpha)^((q-1)/2) * x0
+        b = self.exp_const(self.add(self.one(batch), alpha), (q - 1) // 2)
+        xb = self.mul(b, x0)
+        x = self.select(alpha_is_m1, xa, xb)
+        ok = self.eq(self.square(x), a) | self.is_zero(a)
+        return x, ok
+
     def to_host(self, a) -> list:
         from ...utils.limbs import limbs_to_ints
 

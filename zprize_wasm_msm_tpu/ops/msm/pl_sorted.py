@@ -183,6 +183,40 @@ def _segscan_kernel(curve, px_ref, py_ref, pz_ref, seg_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
+def _segscan_xla(curve: CurveSpec, px, py, pz, seg, rounds: int):
+    """XLA fallback for stage 4 when K is too large for the VMEM kernel
+    (c >= 15: the (L, Wp, K) working set exceeds the ~12 MB budget even at
+    Wp = 1).  Same Hillis-Steele segmented scan, group adds in 2-D jnp
+    (the shape the TPU fusion emitter handles — see pippenger._flat_add)."""
+    from ..curve import group
+
+    L, Wp, K = px.shape
+    x, y, z = px, py, pz
+
+    def flat_add(p1, p2):
+        s = group.add(
+            curve,
+            tuple(a.reshape(L, -1) for a in p1),
+            tuple(a.reshape(L, -1) for a in p2),
+        )
+        return tuple(a.reshape(L, Wp, K) for a in s)
+
+    kiota = jax.lax.broadcasted_iota(I32, (Wp, K), 1)
+    for r in range(rounds):
+        s = 1 << r
+        rx = jnp.roll(x, s, axis=2)
+        ry = jnp.roll(y, s, axis=2)
+        rz = jnp.roll(z, s, axis=2)
+        rseg = jnp.where(kiota < s, -1, jnp.roll(seg, s, axis=1))
+        same = (rseg == seg)[None]
+        nx, ny, nz = flat_add((rx, ry, rz), (x, y, z))
+        x = jnp.where(same, nx, x)
+        y = jnp.where(same, ny, y)
+        z = jnp.where(same, nz, z)
+    return x, y, z
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
 def _segscan(curve: CurveSpec, px, py, pz, seg, rounds: int):
     """px/py/pz: (L, Wp, K) projective pieces sorted by seg; seg: (Wp, K).
     Returns the inclusive segmented scan (last entry of each segment holds
@@ -300,7 +334,10 @@ def _accumulate_group(curve: CurveSpec, X, Y, negY, dig, c: int):
     rounds = max(1, (T - 1).bit_length())
     per_window = (9 * L + curve.kfield.acc_rows) * K * 4
     Wp2 = max(1, (12 << 20) // per_window)
-    if Wp2 < Wp:
+    if per_window > 12 << 20:
+        # even one window exceeds VMEM (c >= 15): combine in XLA instead
+        sx, sy, sz = _segscan_xla(curve, px, py, pz, seg, rounds)
+    elif Wp2 < Wp:
         chunks = []
         for w0 in range(0, Wp, Wp2):
             w1 = min(w0 + Wp2, Wp)

@@ -254,6 +254,61 @@ class Tower:
         r0 = self.f6_add(self.f6_mul_nr(bb), aa)
         return jnp.concatenate([r0, r1])
 
+    def f12_mul024(self, a, x0, x2, x4):
+        """Sparse multiply by x0 + x2 v^2 + x4 v w — the BN Miller-loop line
+        (ref src/bn128/build_bn128.js __mulBy024:663-805; component z_i is
+        the i-th Fq2 slot of the flat f12 layout, matching the reference's
+        offsets z0..z5)."""
+        F2 = self.f2
+        k = self.L2
+        z = [a[m * k : (m + 1) * k] for m in range(6)]
+        xi = self.f2_mul_xi
+
+        d0 = F2.mul(z[0], x0)
+        d2 = F2.mul(z[2], x2)
+        d4 = F2.mul(z[4], x4)
+        t2 = F2.add(z[0], z[4])
+        t1 = F2.add(z[0], z[2])
+        s0 = F2.add(F2.add(z[1], z[3]), z[5])
+
+        # z0'
+        s1 = F2.mul(z[1], x2)
+        t3 = F2.add(s1, d4)
+        o0 = F2.add(xi(t3), d0)
+        # z1'
+        t3 = F2.mul(z[5], x4)
+        s1 = F2.add(s1, t3)
+        t3 = F2.add(t3, d2)
+        t4 = xi(t3)
+        t3 = F2.mul(z[1], x0)
+        s1 = F2.add(s1, t3)
+        o1 = F2.add(t4, t3)
+        # z2'
+        t0 = F2.add(x0, x2)
+        t3 = F2.sub(F2.mul(t1, t0), F2.add(d0, d2))
+        t4 = F2.mul(z[3], x4)
+        s1 = F2.add(s1, t4)
+        o2 = F2.add(t3, t4)
+        # z3'
+        t0 = F2.add(z[2], z[4])
+        t1b = F2.add(x2, x4)
+        t3 = F2.sub(F2.mul(t1b, t0), F2.add(d2, d4))
+        t4 = xi(t3)
+        t3 = F2.mul(z[3], x0)
+        s1 = F2.add(s1, t3)
+        o3 = F2.add(t4, t3)
+        # z4'
+        t3 = F2.mul(z[5], x2)
+        s1 = F2.add(s1, t3)
+        t4 = xi(t3)
+        t0 = F2.add(x0, x4)
+        t3 = F2.sub(F2.mul(t2, t0), F2.add(d0, d4))
+        o4 = F2.add(t4, t3)
+        # z5'
+        t0 = F2.add(F2.add(x0, x2), x4)
+        o5 = F2.sub(F2.mul(s0, t0), s1)
+        return jnp.concatenate([o0, o1, o2, o3, o4, o5])
+
     # -- Frobenius ----------------------------------------------------------
 
     @cached_property
