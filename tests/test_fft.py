@@ -120,6 +120,8 @@ def test_fft_join_ext_oracle_and_roundtrip(rng):
 def test_prepare_lagrange_evaluation_oracle(rng):
     """prepare_lagrange_evaluation matches the bigint oracle
     (ref build_fft.js buildPrepareLagrangeEvaluation:991)."""
+    from zprize_wasm_msm_tpu.utils.bigint import mod_inv
+
     spec = toy_fft.fr
     q = spec.q
     n, total_bits = 8, 2
@@ -127,7 +129,13 @@ def test_prepare_lagrange_evaluation_oracle(rng):
     b = [int(rng.integers(0, q)) for _ in range(n)]
     first, inc = 3, 11
 
-    m, s = fft_mod._shift_consts(q, total_bits)
+    # constants from the reference definition (build_fft.js:80-87),
+    # independent of fft_mod internals
+    nr = 2
+    while pow(nr, (q - 1) // 2, q) != q - 1:
+        nr += 1
+    m = pow(nr * nr % q, 1 << total_bits, q)
+    s = mod_inv((1 - m) % q, q)
     b1 = to_dev_fr(spec, a)
     b2 = to_dev_fr(spec, b)
     fdev = to_dev_fr(spec, [first])[:, 0]

@@ -247,6 +247,24 @@ toy_g2 = CurveSpec(
     nr=-1,
 )
 
+# ext=3 toy: the MNT6753-G2 analog at 14-bit size — general-a curve over
+# Fq3 = Fq[v]/(v^3 - 11) (11 is a cubic non-residue mod 9967), prime
+# ~2^18.4 subgroup outside E(Fq) so generator multiples have fully
+# generic Fq3 coordinates.  Derived host-side from the base-curve trace
+# (#E(Fq3) = q^3 + 1 - (t^3 - 3qt)).
+toy_g3 = CurveSpec(
+    name="toy_g3",
+    q=9967,
+    r=352069,  # prime; cofactor 2812320
+    a=(1, 0, 0),
+    b=(3, 0, 0),
+    gx=(7806, 7650, 1404),
+    gy=(6653, 8200, 5609),
+    glv=None,
+    ext=3,
+    nr=11,
+)
+
 # FFT-friendly toy: r - 1 = 2^7 * 21, so Fr has 2-adicity 7 (group/scalar
 # FFTs up to size 128); same generic kernels, 13-bit field.
 toy_fft = CurveSpec(
@@ -284,8 +302,42 @@ mnt6753 = CurveSpec(
     glv=None,
 )
 
+# MNT6-753 G2: the sextic-twist-style curve over Fq3 = Fq[v]/(v^3 - 11)
+# (ref build_mnt6753.js — f3m at :56 with nonresidue 11 :41, g2m at :144
+# over mulByA2 = multiplication by a2 = 11*v^2 = (0,0,11) :110-143,
+# generator G2gen at :174-202).  b2 derived from the generator like b
+# above (the projective builder never embeds b; needed here for inCurve).
+_MNT6_G2X = (
+    46538297238006280434045879335349383221210789488441126073640895239023832290080310125413049878152095926176013036314720850781686614265244307536450228450615346834324267478485994670716807428718518299710702671895190475661871557310,
+    10329739935427016564561842963551883445915701424214177782911128765230271790215029185795830999583638744119368571742929964793955375930677178544873424392910884024986348059137449389533744851691082159233065444766899262771358355816328,
+    19962817058174334691864015232062671736353756221485896034072814261894530786568591431279230352444205682361463997175937973249929732063490256813101714586199642571344378012210374327764059557816647980334733538226843692316285591005879,
+)
+_MNT6_G2Y = (
+    5648166377754359996653513138027891970842739892107427747585228022871109585680076240624013411622970109911154113378703562803827053335040877618934773712021441101121297691389632155906182656254145368668854360318258860716497525179898,
+    26817850356025045630477313828875808893994935265863280918207940412617168254772789578700316551065949899971937475487458539503514034928974530432009759562975983077355912050606509147904958229398389093697494174311832813615564256810453,
+    32332319709358578441696731586704495581796858962594701633932927358040566210788542624963749336109940335257143899293177116050031684054348958813290781394131284657165540476824211295508498842102093219808642563477603392470909217611033,
+)
+
+mnt6753_g2 = CurveSpec(
+    name="mnt6753_g2",
+    q=MNT6753_Q,
+    r=MNT6753_R,
+    a=(0, 0, 11),
+    b=(
+        2189526091197672465268098090392210500740714959757583916377481826443393499947557697773546040576162515434508768057245887856591913752342600919117433675080691499697020523783784738694360040853591723916201150207746019687604267190251,
+        0,
+        0,
+    ),
+    gx=_MNT6_G2X,
+    gy=_MNT6_G2Y,
+    glv=None,
+    ext=3,
+    nr=11,
+)
+
 CURVES = {
     "mnt6753": mnt6753,
+    "mnt6753_g2": mnt6753_g2,
     "bls12_381": bls12_381,
     "bls12_381_g2": bls12_381_g2,
     "bls12_377": bls12_377,

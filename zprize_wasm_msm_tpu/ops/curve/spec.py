@@ -74,8 +74,10 @@ class CurveSpec:
 
         if self.ext == 1:
             return tower.Fq(self.fq)
-        assert self.ext == 2, f"unsupported extension degree {self.ext}"
-        return tower.Fq2(self.fq, self.nr)
+        if self.ext == 2:
+            return tower.Fq2(self.fq, self.nr)
+        assert self.ext == 3, f"unsupported extension degree {self.ext}"
+        return tower.Fq3(self.fq, self.nr)
 
     @cached_property
     def b3(self):

@@ -28,7 +28,7 @@ from . import mont
 from .mont import U32
 from .spec import FieldSpec
 
-IntLike = Union[int, Tuple[int, int]]
+IntLike = Union[int, Tuple[int, ...]]
 
 
 @dataclass(frozen=True)
@@ -344,3 +344,179 @@ class Fq2:
         f = self.spec.from_mont_int
         return [(f(x), f(y)) for x, y in zip(c0, c1)]
 
+
+@dataclass(frozen=True)
+class Fq3:
+    """Cubic extension Fq[v]/(v^3 - nr) (ref src/build_f3m.js — mul:152,
+    square:218, inverse:416; instantiated for MNT6753 with nr = 11,
+    src/mnt6753/build_mnt6753.js build_mulNR3:34-51).
+
+    Flat element layout: (3L, *batch) uint32 — component k in limb rows
+    [kL:(k+1)L], matching the Fq2 convention so the generic group/MSM
+    layers treat extension elements as wider base elements.
+    """
+
+    spec: FieldSpec  # the base field
+    nr: int  # non-residue (v^3 = nr), small positive int
+
+    elem_ndim = 1
+
+    @property
+    def elem_len(self) -> int:
+        return 3 * self.spec.n_limbs
+
+    @cached_property
+    def _nr_mont_limbs(self):
+        from ...utils.bigint import int_to_limbs
+
+        return int_to_limbs(
+            self.spec.to_mont_int(self.nr % self.spec.q), self.spec.n_limbs
+        )
+
+    def _split(self, a):
+        L = self.spec.n_limbs
+        return a[:L], a[L : 2 * L], a[2 * L :]
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def zeros(self, batch_shape=()):
+        return jnp.zeros((self.elem_len,) + tuple(batch_shape), U32)
+
+    def one(self, batch_shape=()):
+        return jnp.concatenate(
+            [
+                mont.one_mont(self.spec, batch_shape),
+                mont.zeros(self.spec, batch_shape),
+                mont.zeros(self.spec, batch_shape),
+            ]
+        )
+
+    def const(self, value: IntLike, batch_shape=()):
+        if isinstance(value, int):
+            value = (value, 0, 0)
+        assert len(value) == 3
+        return jnp.concatenate(
+            [
+                mont.full_const(self.spec, self.spec.to_mont_int(v), batch_shape)
+                for v in value
+            ]
+        )
+
+    def _mul_nr(self, a):
+        """Multiply a base-field batch by the non-residue (mulNR3)."""
+        c = jnp.asarray(self._nr_mont_limbs, U32).reshape(
+            (self.spec.n_limbs,) + (1,) * (a.ndim - 1)
+        )
+        return mont.mont_mul(self.spec, a, jnp.broadcast_to(c, a.shape))
+
+    def _base_map(self, fn, *arrs):
+        L = self.spec.n_limbs
+        shp = arrs[0].shape
+
+        def to3(x):
+            return jnp.moveaxis(x.reshape((3, L) + shp[1:]), 0, 1)
+
+        out = fn(*[to3(x) for x in arrs])
+        return jnp.moveaxis(out, 1, 0).reshape(shp)
+
+    def add(self, a, b):
+        s = self.spec
+        return self._base_map(lambda x, y: mont.add(s, x, y), a, b)
+
+    def sub(self, a, b):
+        s = self.spec
+        return self._base_map(lambda x, y: mont.sub(s, x, y), a, b)
+
+    def neg(self, a):
+        s = self.spec
+        return self._base_map(lambda x: mont.neg(s, x), a)
+
+    def mul(self, a, b):
+        """6-multiplication Karatsuba-style product (ref build_f3m.js
+        mul:152 — same interpolation as the Fq6-over-Fq2 product)."""
+        s = self.spec
+        a0, a1, a2 = self._split(a)
+        b0, b1, b2 = self._split(b)
+        t0, t1, t2, m01, m12, m02 = Fq(s).mul_many(
+            [
+                (a0, b0),
+                (a1, b1),
+                (a2, b2),
+                (mont.add(s, a0, a1), mont.add(s, b0, b1)),
+                (mont.add(s, a1, a2), mont.add(s, b1, b2)),
+                (mont.add(s, a0, a2), mont.add(s, b0, b2)),
+            ]
+        )
+        c0 = mont.add(
+            s, t0, self._mul_nr(mont.sub(s, mont.sub(s, m12, t1), t2))
+        )
+        c1 = mont.add(
+            s, mont.sub(s, mont.sub(s, m01, t0), t1), self._mul_nr(t2)
+        )
+        c2 = mont.add(s, mont.sub(s, mont.sub(s, m02, t0), t2), t1)
+        return jnp.concatenate([c0, c1, c2])
+
+    def mul_many(self, pairs):
+        k = len(pairs)
+        if k == 1:
+            return [self.mul(*pairs[0])]
+        a = jnp.stack([p[0] for p in pairs], axis=1)
+        b = jnp.stack([p[1] for p in pairs], axis=1)
+        r = self.mul(a, b)
+        return [r[:, i] for i in range(k)]
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def inverse(self, a):
+        """Fq3 inverse (ref build_f3m.js inverse:416): the norm-style
+        cofactor formula c_i / (a0 c0 + nr (a2 c1 + a1 c2))."""
+        s = self.spec
+        a0, a1, a2 = self._split(a)
+        sq0, sq1, sq2, m01, m02, m12 = Fq(s).mul_many(
+            [(a0, a0), (a1, a1), (a2, a2), (a0, a1), (a0, a2), (a1, a2)]
+        )
+        c0 = mont.sub(s, sq0, self._mul_nr(m12))
+        c1 = mont.sub(s, self._mul_nr(sq2), m01)
+        c2 = mont.sub(s, sq1, m02)
+        u0, u1 = Fq(s).mul_many([(a2, c1), (a1, c2)])
+        (t0,) = Fq(s).mul_many([(a0, c0)])
+        t = mont.add(s, t0, self._mul_nr(mont.add(s, u0, u1)))
+        tinv = mont.inverse(s, t)
+        r0, r1, r2 = Fq(s).mul_many([(c0, tinv), (c1, tinv), (c2, tinv)])
+        return jnp.concatenate([r0, r1, r2])
+
+    def batch_inverse(self, a):
+        # the cofactor trick already shares ONE base inversion per element;
+        # batching happens along the lane axis for free
+        return self.inverse(a)
+
+    def is_zero(self, a):
+        a0, a1, a2 = self._split(a)
+        s = self.spec
+        return mont.is_zero(s, a0) & mont.is_zero(s, a1) & mont.is_zero(s, a2)
+
+    def eq(self, a, b):
+        a0, a1, a2 = self._split(a)
+        b0, b1, b2 = self._split(b)
+        s = self.spec
+        return (
+            mont.eq(s, a0, b0) & mont.eq(s, a1, b1) & mont.eq(s, a2, b2)
+        )
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None], a, b)
+
+    def to_host(self, a) -> list:
+        from ...utils.limbs import limbs_to_ints
+
+        a = np.asarray(a)
+        a0, a1, a2 = self._split(a)
+        f = self.spec.from_mont_int
+        return [
+            (f(x), f(y), f(z))
+            for x, y, z in zip(
+                limbs_to_ints(a0), limbs_to_ints(a1), limbs_to_ints(a2)
+            )
+        ]

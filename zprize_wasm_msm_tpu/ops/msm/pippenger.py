@@ -344,6 +344,10 @@ def msm(
     Ls = scalars.shape[0]
     if impl == "auto":
         impl = _default_impl()
+    if curve.ext > 2 or curve.a != 0:
+        # the Pallas kernels cover Fq/Fq2 a=0 curves (the bench surface);
+        # cubic-extension / general-a curves (MNT6753) take the jnp path
+        impl = "xla"
     if max_bits is None:
         max_bits = Ls * 16
 

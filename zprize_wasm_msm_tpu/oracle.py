@@ -123,6 +123,55 @@ class F2:
         return a[0] % self.q == 0 and a[1] % self.q == 0
 
 
+class F3:
+    """Cubic extension Fq[v]/(v^3 - nr) over python int triples
+    (the host oracle for src/build_f3m.js — MNT6753's coordinate field)."""
+
+    def __init__(self, q: int, nr: int):
+        self.q = q
+        self.nr = nr % q
+
+    def of(self, v):
+        if isinstance(v, int):
+            return (v % self.q, 0, 0)
+        return tuple(c % self.q for c in v)
+
+    def small(self, n: int):
+        return (n % self.q, 0, 0)
+
+    def add(self, a, b):
+        return tuple((x + y) % self.q for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        return tuple((x - y) % self.q for x, y in zip(a, b))
+
+    def neg(self, a):
+        return tuple((-x) % self.q for x in a)
+
+    def mul(self, a, b):
+        q, nr = self.q, self.nr
+        c0 = (a[0] * b[0] + nr * (a[1] * b[2] + a[2] * b[1])) % q
+        c1 = (a[0] * b[1] + a[1] * b[0] + nr * a[2] * b[2]) % q
+        c2 = (a[0] * b[2] + a[1] * b[1] + a[2] * b[0]) % q
+        return (c0, c1, c2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        q, nr = self.q, self.nr
+        a0, a1, a2 = a
+        c0 = (a0 * a0 - nr * a1 * a2) % q
+        c1 = (nr * a2 * a2 - a0 * a1) % q
+        c2 = (a1 * a1 - a0 * a2) % q
+        t = (a0 * c0 + nr * (a2 * c1 + a1 * c2)) % q
+        ti = pow(t, q - 2, q)
+        return (c0 * ti % q, c1 * ti % q, c2 * ti % q)
+
+    def is_zero(self, a) -> bool:
+        return all(c % self.q == 0 for c in a)
+
+
 # ---------------------------------------------------------------------------
 # short Weierstrass curve y^2 = x^3 + a*x + b, Jacobian coordinates
 # ---------------------------------------------------------------------------
