@@ -304,15 +304,121 @@ def window_fold(curve: CurveSpec, window_sums, c: int):
     return acc
 
 
-def _default_impl() -> str:
+def _default_impl(ext: int = 1) -> str:
+    """Engine choice: measured on the v5e (tools/profile_sorted.py), the
+    c=6 VMEM-bucket kernel wins for G1 (the sorted engine's per-window
+    XLA gather costs ~75 ns/point — 2.5x the sweep kernel's add — so
+    sort-based large windows lose to more small windows at equal add
+    rate); the sorted engine is the G2 path (pl_bucket is base-field
+    only) and the explicit large-c path."""
     import os
 
     if os.environ.get("ZPTPU_MSM_IMPL") in ("pallas", "pallas-sorted", "xla"):
         return os.environ["ZPTPU_MSM_IMPL"]
     try:
-        return "pallas-sorted" if jax.devices()[0].platform == "tpu" else "xla"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
+        on_tpu = False
+    if not on_tpu:
         return "xla"
+    return "pallas" if ext == 1 else "pallas-sorted"
+
+
+def resolve_config(
+    curve, N, max_bits, c, lanes, mem_budget_bytes, impl
+) -> Tuple[str, int, Optional[int]]:
+    """Resolve (impl, c, lanes) for an MSM of N points (host-side)."""
+    if impl == "auto":
+        impl = _default_impl(curve.ext)
+    if curve.ext > 2 or curve.a != 0:
+        # the Pallas kernels cover Fq/Fq2 a=0 curves (the bench surface);
+        # cubic-extension / general-a curves (MNT6753) take the jnp path
+        impl = "xla"
+    if impl == "pallas" and curve.ext != 1:
+        impl = "pallas-sorted"  # pl_bucket is base-field only
+    if c is None:
+        if impl == "pallas-sorted":
+            c = windows.sorted_engine_window_size(N, max_bits)
+        elif impl == "pallas":
+            c = 6
+        else:
+            c = windows.default_window_size(N, max_bits, mem_budget_bytes)
+    if impl == "xla" and lanes is None:
+        W = windows.num_windows(max_bits, c)
+        lanes = _lane_count(N, c, W, mem_budget_bytes, curve.field.elem_len)
+    return impl, c, lanes
+
+
+def window_sums(
+    curve: CurveSpec,
+    points: Tuple[jnp.ndarray, jnp.ndarray],
+    digits: jnp.ndarray,
+    c: int,
+    impl: str,
+    lanes: Optional[int] = None,
+):
+    """Bucket accumulation + per-window weighted reduction: (L, W) x3.
+
+    The per-device stage shared by msm() and parallel.sharded_msm (each
+    device computes its shard's window sums; only these cross the
+    interconnect).
+    """
+    from . import pl_bucket, pl_sorted
+
+    X, Y = points
+    W, N = digits.shape
+
+    if impl == "pallas-sorted":
+        # field-generic: the kernels run G1 (Fq) and G2 (Fq2) through the
+        # same code path (ops.field.ktower) — the reference's optimized
+        # engine is G1-hardcoded (build_multiexp_opt.js:27-30); fixed here.
+        buckets = pl_sorted.bucket_accumulate_sorted(curve, (X, Y), digits, c)
+        return bucket_reduce_grouped(curve, buckets)
+
+    if impl == "pallas":
+        # small-c regime: buckets must fit VMEM (see pl_bucket docstring).
+        # Windows are processed in passes of Wp = 8 (a full sublane tile):
+        # points stream through the chip once per pass, so a larger c (VMEM
+        # would not fit all windows at once) still wins — N*W total adds
+        # shrink ~30% going c=4 -> c=6 while HBM streaming stays negligible
+        # next to the mixed-add arithmetic.
+        assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
+        assert curve.ext == 1, "pallas bucket kernel is base-field only"
+        Wp = min(8, W)
+        T = lanes if lanes is not None else 128
+        while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
+            T //= 2
+        wpad = (-W) % Wp
+        if wpad:  # zero digits pass through as identity adds
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((wpad, digits.shape[1]), digits.dtype)], axis=0
+            )
+        parts = [
+            pl_bucket.bucket_accumulate(
+                curve, (X, Y), digits[i : i + Wp], lanes=T, c=c
+            )
+            for i in range(0, W + wpad, Wp)
+        ]
+        buckets4 = tuple(
+            jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
+        )
+        buckets = _lane_tree_reduce_jit(curve, buckets4)
+        buckets = tuple(b[:, :W] for b in buckets)
+        return bucket_reduce(curve, buckets)
+
+    # jnp private-bucket scatter path
+    if lanes is None:
+        lanes = _lane_count(N, c, W, 2 << 30, curve.field.elem_len)
+    pad = (-N) % lanes
+    if pad:
+        zf = jnp.zeros((curve.field.elem_len, pad), dtype=U32)
+        X = jnp.concatenate([X, zf], axis=1)
+        Y = jnp.concatenate([Y, zf], axis=1)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((W, pad), digits.dtype)], axis=1
+        )
+    buckets = bucket_accumulate_c(curve, (X, Y), digits, lanes, c)
+    return bucket_reduce(curve, buckets)
 
 
 def msm(
@@ -330,91 +436,24 @@ def msm(
 
     points:  affine (X, Y), each (L, N), Montgomery form.
     scalars: (Ls, N) uint32 16-bit limbs, standard (non-Montgomery) domain.
-    impl:    "pallas-sorted" (TPU kernel, sort-by-bucket + running-sum
-             sweep, any c — the large-window engine),
-             "pallas" (TPU kernel, small-c VMEM-resident buckets, c <= 6),
+    impl:    "pallas" (TPU kernel, small-c VMEM-resident buckets, c <= 6 —
+             the measured-fastest G1 engine),
+             "pallas-sorted" (TPU kernel, sort-by-bucket + running-sum
+             sweep, any c and any coordinate field — the G2/large-window
+             engine),
              "xla" (pure-jnp private-bucket scatter), or "auto"
-             (pallas-sorted on TPU backends, xla elsewhere).
+             (on TPU: pallas for G1, pallas-sorted for G2; xla elsewhere).
     Returns a projective point (X, Y, Z), Montgomery form.
     """
-    from . import pl_bucket, pl_sorted
-
     X, Y = points
     N = X.shape[1]
-    Ls = scalars.shape[0]
-    if impl == "auto":
-        impl = _default_impl()
-    if curve.ext > 2 or curve.a != 0:
-        # the Pallas kernels cover Fq/Fq2 a=0 curves (the bench surface);
-        # cubic-extension / general-a curves (MNT6753) take the jnp path
-        impl = "xla"
     if max_bits is None:
-        max_bits = Ls * 16
-
-    if impl == "pallas-sorted":
-        # field-generic: the kernels run G1 (Fq) and G2 (Fq2) through the
-        # same code path (ops.field.ktower) — the reference's optimized
-        # engine is G1-hardcoded (build_multiexp_opt.js:27-30); fixed here.
-        if c is None:
-            c = windows.sorted_engine_window_size(N, max_bits)
-        digits = windows.signed_window_digits(scalars, c, max_bits)
-        buckets = pl_sorted.bucket_accumulate_sorted(curve, (X, Y), digits, c)
-        per_window = bucket_reduce_grouped(curve, buckets)
-        return window_fold(curve, per_window, c)
-
-    if impl == "pallas":
-        # small-c regime: buckets must fit VMEM (see pl_bucket docstring).
-        # Windows are processed in passes of Wp = 8 (a full sublane tile):
-        # points stream through the chip once per pass, so a larger c (VMEM
-        # would not fit all windows at once) still wins — N*W total adds
-        # shrink ~30% going c=4 -> c=6 while HBM streaming stays negligible
-        # next to the mixed-add arithmetic.
-        if c is None:
-            c = 6
-        assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
-        assert curve.ext == 1, "pallas bucket kernel is base-field only; use impl='xla' for G2"
-        W = windows.num_windows(max_bits, c)
-        Wp = min(8, W)
-        T = lanes if lanes is not None else 128
-        while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
-            T //= 2
-        digits = windows.signed_window_digits(scalars, c, max_bits)
-        wpad = (-W) % Wp
-        if wpad:  # zero digits pass through as identity adds
-            digits = jnp.concatenate(
-                [digits, jnp.zeros((wpad, digits.shape[1]), digits.dtype)], axis=0
-            )
-        parts = [
-            pl_bucket.bucket_accumulate(
-                curve, (X, Y), digits[i : i + Wp], lanes=T, c=c
-            )
-            for i in range(0, W + wpad, Wp)
-        ]
-        buckets4 = tuple(
-            jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
-        )
-        buckets = _lane_tree_reduce_jit(curve, buckets4)
-        buckets = tuple(b[:, :W] for b in buckets)
-        per_window = bucket_reduce(curve, buckets)
-        return window_fold(curve, per_window, c)
-
-    if c is None:
-        c = windows.default_window_size(N, max_bits, mem_budget_bytes)
-    W = windows.num_windows(max_bits, c)
-    if lanes is None:
-        lanes = _lane_count(N, c, W, mem_budget_bytes, curve.field.elem_len)
-    # pad N to a multiple of lanes with zero scalars/points
-    pad = (-N) % lanes
-    if pad:
-        zf = jnp.zeros((curve.field.elem_len, pad), dtype=U32)
-        X = jnp.concatenate([X, zf], axis=1)
-        Y = jnp.concatenate([Y, zf], axis=1)
-        scalars = jnp.concatenate(
-            [scalars, jnp.zeros((Ls, pad), dtype=U32)], axis=1
-        )
+        max_bits = scalars.shape[0] * 16
+    impl, c, lanes = resolve_config(
+        curve, N, max_bits, c, lanes, mem_budget_bytes, impl
+    )
     digits = windows.signed_window_digits(scalars, c, max_bits)
-    buckets = bucket_accumulate_c(curve, (X, Y), digits, lanes, c)
-    per_window = bucket_reduce(curve, buckets)
+    per_window = window_sums(curve, (X, Y), digits, c, impl, lanes)
     return window_fold(curve, per_window, c)
 
 

@@ -61,14 +61,16 @@ GRID = 1024
 
 
 def _group_sizes(W: int) -> list:
-    """Partition W windows into groups of size 8/4/2/1 (binary decomposition),
-    each group filling the (8, 128) grid with T = 1024/Wp chunks/window."""
-    out = []
-    for size in (8, 4, 2, 1):
-        while W >= size:
-            out.append(size)
-            W -= size
-    return out
+    """One window per kernel group (Wp = 1, T = 1024 chunks/window).
+
+    Earlier revisions packed up to 8 windows per group; that multiplied
+    the compiled graph (one inlined compact stage per window) and the
+    gather working set by Wp — the Wp=8 variant's MLIR grew past the
+    compile helper's memory cap at c >= 13.  With Wp = 1 the grid is
+    still full (1024 lane chunks), ONE compiled shape serves every
+    window, and peak HBM for the sorted gather is (L, N) not (L, 8, N).
+    """
+    return [1] * W
 
 
 # ---------------------------------------------------------------------------
@@ -332,27 +334,16 @@ def _accumulate_group(curve: CurveSpec, X, Y, negY, dig, c: int):
     # VMEM budget: ~9 value arrays of (L, Wp2, K) + the (acc_rows, Wp2, K)
     # multiply scratch must fit ~12 MB -> cap the windows per kernel call
     rounds = max(1, (T - 1).bit_length())
-    per_window = (9 * L + curve.kfield.acc_rows) * K * 4
-    Wp2 = max(1, (12 << 20) // per_window)
-    if per_window > 12 << 20:
-        # even one window exceeds VMEM (c >= 15): combine in XLA instead
-        sx, sy, sz = _segscan_xla(curve, px, py, pz, seg, rounds)
-    elif Wp2 < Wp:
-        chunks = []
-        for w0 in range(0, Wp, Wp2):
-            w1 = min(w0 + Wp2, Wp)
-            chunks.append(
-                _segscan(
-                    curve,
-                    px[:, w0:w1], py[:, w0:w1], pz[:, w0:w1],
-                    seg[w0:w1], rounds,
-                )
-            )
-        sx = jnp.concatenate([ch[0] for ch in chunks], axis=1)
-        sy = jnp.concatenate([ch[1] for ch in chunks], axis=1)
-        sz = jnp.concatenate([ch[2] for ch in chunks], axis=1)
-    else:
+    # Mosaic's SCOPED (stack) VMEM for the segscan body measures ~85x
+    # K*L*4 bytes (the complete-add temporaries; observed 24.41 MB at
+    # (L=24, K=3072) against the 16 MB limit) — far above the naive
+    # value-array count.  Use the measured scaling with headroom; larger
+    # K combines in XLA instead (still one fused graph, HBM-resident).
+    scoped_est = 85 * K * L * 4
+    if Wp == 1 and scoped_est <= 14 << 20:
         sx, sy, sz = _segscan(curve, px, py, pz, seg, rounds)
+    else:
+        sx, sy, sz = _segscan_xla(curve, px, py, pz, seg, rounds)
 
     # ---- stage 5: last-of-segment scatter into dense buckets -------------
     nxt_seg = jnp.concatenate(

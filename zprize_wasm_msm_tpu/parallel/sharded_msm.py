@@ -52,27 +52,19 @@ def msm_sharded(
     TPU backends, xla elsewhere — same rule as pippenger.msm).
     Returns the projective result, replicated on every device.
     """
-    from ..ops.msm import pl_sorted
-
     X, Y = points
     n_dev = mesh.devices.size
     N = X.shape[1]
     assert N % n_dev == 0, "pad N to a multiple of the mesh size"
-    if impl == "auto":
-        impl = pippenger._default_impl()
     if use_glv is None:
         use_glv = curve.glv is not None
     if max_bits is None:
         max_bits = glv_mod.MAX_BITS if use_glv else scalars.shape[0] * 16
     local_n = (N // n_dev) * (2 if use_glv else 1)
-    if c is None:
-        if impl == "pallas-sorted":
-            c = windows.sorted_engine_window_size(local_n, max_bits)
-        else:
-            c = windows.default_window_size(local_n, max_bits, mem_budget_bytes)
-    if lanes is None:
-        W = windows.num_windows(max_bits, c)
-        lanes = pippenger._lane_count(local_n, c, W, mem_budget_bytes, curve.field.elem_len)
+    impl, c, lanes = pippenger.resolve_config(
+        curve, local_n, max_bits, c, lanes, mem_budget_bytes, impl
+    )
+    if impl == "xla":
         lanes = min(lanes, max(1, local_n // 4) if local_n >= 4 else 1)
 
     def local_step(xs, ys, sc):
@@ -81,25 +73,8 @@ def msm_sharded(
         if use_glv:
             pts, s = glv_mod.preprocess_endomorphism(curve, pts, s)
         digits = windows.signed_window_digits(s, c, max_bits)
-        if impl == "pallas-sorted":
-            # the TPU engine pads to its lane grid internally
-            buckets = pl_sorted.bucket_accumulate_sorted(curve, pts, digits, c)
-            wsum = pippenger.bucket_reduce_grouped(curve, buckets)
-        else:
-            # pad local N to lane multiple
-            Nl = pts[0].shape[1]
-            pad = (-Nl) % lanes
-            if pad:
-                zf = jnp.zeros((curve.field.elem_len, pad), dtype=jnp.uint32)
-                pts = (
-                    jnp.concatenate([pts[0], zf], axis=1),
-                    jnp.concatenate([pts[1], zf], axis=1),
-                )
-                digits = jnp.concatenate(
-                    [digits, jnp.zeros((digits.shape[0], pad), digits.dtype)], axis=1
-                )
-            buckets = pippenger.bucket_accumulate_c(curve, pts, digits, lanes, c)
-            wsum = pippenger.bucket_reduce(curve, buckets)  # (L, W) x3, local
+        # per-device engine: identical stage to the single-chip msm()
+        wsum = pippenger.window_sums(curve, pts, digits, c, impl, lanes)
 
         # ---- the only cross-device traffic: per-window partial sums ----
         gathered = jax.lax.all_gather(wsum, POINTS_AXIS)  # (D, L, W) x3
