@@ -129,19 +129,32 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
 
+    def guarded(label, fn, *a, **kw):
+        try:
+            e = fn(*a, **kw)
+        except Exception as exc:  # record the failure, keep sweeping
+            e = {"config": label, "error": str(exc)[:300]}
+        if label and "config" not in e:
+            e["config"] = label
+        emit(e)
+
     if "1" in want:
-        emit(run_msm(bls12_381, 10, reps=args.reps))
+        guarded("single_chip_check", run_msm, bls12_381, 10, reps=args.reps)
     if "2" in want:
+        # the window sweep exercises the large-window sorted engine
+        # (the c=6 VMEM engine is the c <= 6 point on the same curve)
         for c in (int(x) for x in args.sweep.split(",")):
-            e = run_msm(bls12_381, 16, c=c, reps=args.reps)
-            e["config"] = "window_sweep"
-            emit(e)
+            guarded(
+                f"window_sweep_c{c}",
+                run_msm, bls12_381, 16, c=c, reps=args.reps,
+                impl="pallas-sorted",
+            )
     if "3" in want:
-        emit(run_msm(bls12_377, 20, reps=args.reps))
+        guarded("bls12_377_2^20", run_msm, bls12_377, 20, reps=args.reps)
     if "4" in want:
-        emit(run_msm(bls12_381_g2, 16, reps=args.reps))
+        guarded("g2_2^16", run_msm, bls12_381_g2, 16, reps=args.reps)
     if "5" in want:
-        emit(run_msm(bls12_381, 20, reps=args.reps))
+        guarded("headline_2^20", run_msm, bls12_381, 20, reps=args.reps)
     print(f"# wrote {args.out}", file=sys.stderr)
 
 

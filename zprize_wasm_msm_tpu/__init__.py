@@ -39,6 +39,12 @@ def build_bn128() -> CurveContext:
 build_bn254 = build_bn128
 
 
+def build_mnt6753() -> CurveContext:
+    """Analog of the reference's buildMnt6753 (index.js:24, shipped but
+    commented out of the public surface there; fully wired here)."""
+    return build_curve(_curves.mnt6753)
+
+
 def build_f1m(q: int):
     """Analog of the reference's buildF1m (index.js:28): a standalone
     Montgomery field spec usable with ops.field.mont."""
@@ -54,5 +60,6 @@ __all__ = [
     "build_bls12377",
     "build_bn128",
     "build_bn254",
+    "build_mnt6753",
     "build_f1m",
 ]

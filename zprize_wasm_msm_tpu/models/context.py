@@ -132,6 +132,45 @@ class CurveContext:
         """Subgroup check on a projective batch (ref g1m_inGroup)."""
         return self.in_group_affine(group.to_affine(self.spec, p))
 
+    # ---- pairing surface (ref g1m/g2m pairing exports per assembly:
+    # build_bls12381.js:1592-1615, bn128 :1368, mnt6753 :1345) -------------
+
+    @property
+    def _pairing(self):
+        """(module, spec) for this curve family's pairing."""
+        name = self.spec.name
+        if name.startswith("bls12_381"):
+            from ..ops.pairing import bls12
+
+            return bls12, bls12.get_bls12_381_spec()
+        if name.startswith("bn254") or name == "bn128":
+            from ..ops.pairing import bn
+
+            return bn, bn.get_bn254_spec()
+        if name.startswith("mnt6753"):
+            from ..ops.pairing import mnt6
+
+            return mnt6, mnt6.get_mnt6753_spec()
+        raise NotImplementedError(f"no pairing for curve {name}")
+
+    def pairing(self, P, Q):
+        """e(P, Q) batched: P affine G1 batch, Q affine G2 batch."""
+        mod, spec = self._pairing
+        return mod.pairing(spec, P, Q)
+
+    def pairing_eq(self, Ps, Qs):
+        """prod_i e(P_i, Q_i) == 1 (the reference's pairingEq1-5)."""
+        mod, spec = self._pairing
+        return mod.pairing_eq(spec, Ps, Qs)
+
+    def miller_loop(self, P, Q):
+        mod, spec = self._pairing
+        return mod.miller_loop(spec, P, Q)
+
+    def final_exponentiation(self, f):
+        mod, spec = self._pairing
+        return mod.final_exponentiation(spec, f)
+
     def times_scalar(self, points, scalars):
         return group.times_scalar(self.spec, points, scalars)
 
