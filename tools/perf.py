@@ -27,6 +27,9 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
 
 def _bench(fn, *args, reps=5):
     t0 = time.time()
