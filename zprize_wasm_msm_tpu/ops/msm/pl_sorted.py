@@ -193,7 +193,6 @@ def _segscan_xla(curve: CurveSpec, px, py, pz, seg, rounds: int):
     from ..curve import group
 
     L, Wp, K = px.shape
-    x, y, z = px, py, pz
 
     def flat_add(p1, p2):
         s = group.add(
@@ -204,18 +203,26 @@ def _segscan_xla(curve: CurveSpec, px, py, pz, seg, rounds: int):
         return tuple(a.reshape(L, Wp, K) for a in s)
 
     kiota = jax.lax.broadcasted_iota(I32, (Wp, K), 1)
-    for r in range(rounds):
-        s = 1 << r
+
+    # fori_loop with a dynamic shift: ONE complete-add graph regardless of
+    # the round count (an unrolled loop multiplied the HLO by `rounds` and
+    # overran the compile helper's memory at large K)
+    def body(r, state):
+        x, y, z = state
+        s = jnp.int32(1) << r
         rx = jnp.roll(x, s, axis=2)
         ry = jnp.roll(y, s, axis=2)
         rz = jnp.roll(z, s, axis=2)
         rseg = jnp.where(kiota < s, -1, jnp.roll(seg, s, axis=1))
         same = (rseg == seg)[None]
         nx, ny, nz = flat_add((rx, ry, rz), (x, y, z))
-        x = jnp.where(same, nx, x)
-        y = jnp.where(same, ny, y)
-        z = jnp.where(same, nz, z)
-    return x, y, z
+        return (
+            jnp.where(same, nx, x),
+            jnp.where(same, ny, y),
+            jnp.where(same, nz, z),
+        )
+
+    return jax.lax.fori_loop(0, rounds, body, (px, py, pz))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))

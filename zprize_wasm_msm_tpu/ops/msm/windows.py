@@ -46,18 +46,21 @@ def default_window_size(n: int, max_bits: int = 256, mem_budget_bytes: int = 2 <
 def sorted_engine_window_size(n: int, max_bits: int = 132) -> int:
     """Window size for the sorted-runs engine (pl_sorted).
 
-    Its per-point cost is one mixed add per window — independent of c — so
-    larger c is strictly fewer adds until the fixed per-window overhead
-    (sort + gather + segmented combine + 2*sqrt(B) reduce steps, together
-    ~O(N + sqrt(2^c))) stops paying for the window it removes.  The classic
-    Pippenger balance point c ~ log2(n) applies with a shallower penalty;
-    cap at 16 (the BASELINE sweep ceiling, matching the reference's table
-    top of 17, build_multiexp_opt.js:39-44).
+    Its per-point cost is one mixed add per window plus a fixed
+    per-(window, point) sort+gather overhead, so larger c saves adds but
+    the gather (~75 ns/pt measured on v5e, tools/profile_sorted.py)
+    flattens the curve: the 2^16 sweep (RESULTS.json) measures c=9..13
+    within noise of each other.  Cap at 10 — the largest window whose
+    segmented-combine kernel stays within Mosaic's scoped-VMEM limit for
+    381-bit fields (c >= 11 routes the combine through the XLA fallback,
+    whose graph the remote compile helper cannot always hold).  Explicit
+    c up to 16 remains available for the BASELINE sweep (matching the
+    reference's table top of 17, build_multiexp_opt.js:39-44).
     """
     if n <= 0:
         return 1
     c = max(2, n.bit_length() - 1 - 4)
-    return int(min(c, 16))
+    return int(min(c, 10))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
