@@ -32,6 +32,8 @@ sys.path.insert(0, REPO)
 
 
 def _bench(fn, *args, reps=5):
+    """Times fn; fn MUST return a small (scalar/row) array — large outputs
+    would time the remote-device tunnel transfer, not the chip."""
     t0 = time.time()
     np.asarray(fn(*args))
     first = time.time() - t0
@@ -111,7 +113,7 @@ def main():
         x = a
         for _ in range(CH):
             x = mont.mont_mul(fq, x, b)
-        return x
+        return jnp.sum(x, dtype=jnp.uint32)  # 4-byte fetch
 
     t_mul, _ = _bench(mulN, af, bf)
     fmul_mps = CH * N / t_mul / 1e6
@@ -125,7 +127,7 @@ def main():
     @jax.jit
     def add2(p):
         x = group.add(bls12_381, p, p)
-        return group.add(bls12_381, x, p)[0]
+        return jnp.sum(group.add(bls12_381, x, p)[0], dtype=jnp.uint32)
 
     t_add, _ = _bench(add2, P)
     gadd_mps = 2 * Ng / t_add / 1e6
