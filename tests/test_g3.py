@@ -125,3 +125,34 @@ def test_mnt6753_g2_constants_and_group():
     P = group.from_affine(mnt6753_g2, (PX, PY))
     got = host_points(mnt6753_g2, group.double(mnt6753_g2, P))[0]
     assert got == P2
+
+
+def test_f3_sign_convention():
+    """Fq3 sign: highest nonzero component c2 -> c1 -> c0
+    (ref build_f3m.js sign:473); sqrt is explicitly unimplemented."""
+    F = toy_g3.field
+    q = toy_g3.q
+    cases = [
+        ((0, 0, 0), 0),
+        ((5, 0, 0), 1),
+        ((q - 1, 0, 0), -1),
+        ((q - 1, 1, 0), 1),       # c1 dominates c0
+        ((1, 1, q - 1), -1),      # c2 dominates all
+    ]
+    import jax.numpy as jnp
+
+    a = jnp.stack([F.const(v) for v, _ in cases], axis=1)
+    got = [int(s) for s in np.asarray(F.sign(a))]
+    assert got == [w for _, w in cases]
+    with pytest.raises(NotImplementedError):
+        F.sqrt(a)
+
+
+def test_ext3_result_to_affine_zero():
+    """result_to_affine returns None (not a tuple of zero-tuples) for the
+    point at infinity on an ext=3 context (round-3 ADVICE item)."""
+    from zprize_wasm_msm_tpu.models.context import build_curve
+
+    ctx = build_curve(toy_g3)
+    z = group.zero(toy_g3, (1,))
+    assert ctx.result_to_affine(z) is None

@@ -162,3 +162,15 @@ def test_msm_reference_vector_bls12_381():
     # cross-check with the oracle too
     oc = oracle_of(bls12_381)
     assert got == oc.msm(REF_POINTS, REF_SCALARS)
+
+
+def test_resolve_config_explicit_large_c_pallas():
+    """impl='pallas' with an explicit c > 6 must route to the sorted engine
+    (the documented large-window path) instead of tripping the pl_bucket
+    c <= 6 assertion (round-3 ADVICE item)."""
+    from zprize_wasm_msm_tpu.models.curves import bls12_381
+
+    impl, c, _ = pippenger.resolve_config(
+        bls12_381, 1 << 10, 128, 12, None, 2 << 30, "pallas"
+    )
+    assert impl == "pallas-sorted" and c == 12

@@ -50,7 +50,7 @@ class CurveContext:
         x, y = group.to_affine(self.spec, r)
         xi = F.to_host(x)[0]
         yi = F.to_host(y)[0]
-        zero = 0 if self.spec.ext == 1 else (0, 0)
+        zero = 0 if self.spec.ext == 1 else (0,) * self.spec.ext
         return None if (xi == zero and yi == zero) else (xi, yi)
 
     # ---- MSM (the reference's g1m_multiexp_multiExp) ---------------------

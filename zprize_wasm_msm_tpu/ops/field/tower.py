@@ -508,6 +508,23 @@ class Fq3:
     def select(self, mask, a, b):
         return jnp.where(mask[None], a, b)
 
+    def sign(self, a):
+        """Sign of the highest nonzero component, order c2 -> c1 -> c0
+        (ref build_f3m.js sign:473) — the convention compressed serde
+        uses to pick the 'greatest' root."""
+        a0, a1, a2 = self._split(a)
+        s = self.spec
+        s2 = mont.sign(s, a2)
+        s1 = mont.sign(s, a1)
+        return jnp.where(s2 != 0, s2, jnp.where(s1 != 0, s1, mont.sign(s, a0)))
+
+    def sqrt(self, a):
+        raise NotImplementedError(
+            "Fq3 square root is not implemented (the reference's f3m has no "
+            "sqrt either, build_f3m.js); compressed decode is unavailable "
+            "for cubic-extension curves — use uncompressed serialization."
+        )
+
     def to_host(self, a) -> list:
         from ...utils.limbs import limbs_to_ints
 

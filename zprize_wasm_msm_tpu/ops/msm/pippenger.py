@@ -336,6 +336,10 @@ def resolve_config(
         impl = "xla"
     if impl == "pallas" and curve.ext != 1:
         impl = "pallas-sorted"  # pl_bucket is base-field only
+    if impl == "pallas" and c is not None and c > 6:
+        # explicit large window: route to the engine that supports it
+        # rather than tripping pl_bucket's c <= 6 assertion
+        impl = "pallas-sorted"
     if c is None:
         if impl == "pallas-sorted":
             c = windows.sorted_engine_window_size(N, max_bits)
