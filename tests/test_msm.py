@@ -174,3 +174,44 @@ def test_resolve_config_explicit_large_c_pallas():
         bls12_381, 1 << 10, 128, 12, None, 2 << 30, "pallas"
     )
     assert impl == "pallas-sorted" and c == 12
+
+
+def test_engine_differential_naive_vs_bucket_toy(rng):
+    """True second-engine differential (the reference's optimized-vs-legacy
+    cross-check, test/batchAffine.js:1258-1301): the per-point
+    double-and-add engine (ops.msm.naive — NO shared pipeline stage) vs
+    the generic bucket engine on random points/scalars."""
+    from zprize_wasm_msm_tpu.ops.msm.naive import msm_naive
+
+    oc = oracle_of(toy)
+    n = 96
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    ks[3] = 0
+    pts = [oc.mul(oc.g, int(rng.integers(0, toy.r))) for _ in range(n)]
+    X, Y = affine_to_dev(toy, pts)
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+    a = result_to_affine(toy, msm_naive(toy, (X, Y), sc, max_bits=16))
+    b = result_to_affine(
+        toy, pippenger.msm(toy, (X, Y), sc, c=4, max_bits=16, lanes=8)
+    )
+    assert a == b
+    assert a == oc.msm(pts, ks)
+
+
+@pytest.mark.slow
+def test_engine_differential_naive_vs_bucket_bls12_381(rng):
+    """Full-width engine differential on BLS12-381 G1 random inputs."""
+    from zprize_wasm_msm_tpu.ops.msm.naive import msm_naive
+
+    oc = oracle_of(bls12_381)
+    n = 16
+    pts = [oc.mul(oc.g, int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    ks = [int.from_bytes(rng.bytes(31), "little") % bls12_381.r for _ in range(n)]
+    X, Y = affine_to_dev(bls12_381, pts)
+    sc = ints_to_limbs(ks, bls12_381.fr.n_limbs)
+    a = result_to_affine(bls12_381, msm_naive(bls12_381, (X, Y), sc))
+    b = result_to_affine(
+        bls12_381, pippenger.msm(bls12_381, (X, Y), sc, c=8, max_bits=256, lanes=2)
+    )
+    assert a == b
+    assert a == oc.msm(pts, ks)

@@ -2,19 +2,27 @@
 
 BASELINE.json's north star asks for per-field-mul-kernel SOL accounting —
 the TPU analog of the reference's ad-hoc profiling
-(wasmcurves/test/int.js:65 "should profile int",
-test/tomcook.js:148-195, benchmarks/multiexp.js performance.now()).
+(wasmcurves/test/int.js:65 "should profile int", test/tomcook.js:148-195,
+benchmarks/multiexp.js performance.now()).
 
 Measures, on whatever backend is active (run on the TPU for real numbers):
 
-  1. raw u32 VPU throughput (a mul+add+mask chain — the elementary op mix
-     of the limb kernels) -> the chip's u32 speed of light;
-  2. Montgomery field-mul throughput (chained mont_mul at 2^20 batch);
-  3. complete-formula group-add throughput;
+  1. u32 VPU throughput ceiling — independent-stream mul+add+mask chains
+     (the elementary op mix of the limb kernels); multiple parallel
+     streams expose the ALU ILP a dependency chain hides, and the MAX
+     across stream counts is the usable speed of light;
+  2. Pallas Montgomery mul / square throughput (ops.field.kernels — the
+     kernels the MSM actually runs) AND the jnp path (ops.field.mont, the
+     CPU-fallback path) for comparison;
+  3. pl_bucket mixed-add rate (the end-to-end hot loop: 11 muls + curve
+     adds + B-way bucket select per point-window);
 
-then derives the analytic u32-op cost of one field mul / group add and
-reports achieved/SOL utilization.  Output: ONE JSON line + PERF.json next
-to this file's repo root.
+then derives utilization against ONE analytic op model, so every row is
+mutually consistent: sol(field_mul) = ceiling / u32_ops(mul),
+sol(bucket_add) = ceiling / u32_ops(add) where u32_ops(add) counts the
+11 muls + field adds + select sweep of the measured kernel.
+
+Output: ONE JSON line + PERF.json at the repo root.
 
 Usage:  python tools/perf.py            (real chip)
         PERF_N=18 python tools/perf.py  (smaller batch)
@@ -47,36 +55,48 @@ def _bench(fn, *args, reps=5):
 
 def field_mul_u32_ops(L: int) -> int:
     """Analytic u32 elementary-op count of one Montgomery mul
-    (ops.field.mont.mont_mul / kcore.kmul): product phase L rows x
+    (ops.field.kernels._mul_kernel): product phase L rows x
     (1 mul + 1 mask + 1 shift + 2 adds) over L-limb slices, reduction
     phase the same plus the m-recurrence, final carry + cond-subtract.
-    Counts every vector ALU op as 1 (the VPU issues mul and add at the
-    same rate for u32)."""
+    Counts every vector ALU op as 1."""
     product = L * L * 5
     reduction = L * L * 5 + L * 4
     carry = (L + 1) * 3 + L * 4
     return product + reduction + carry
 
 
-def group_add_field_muls() -> int:
-    """Complete mixed add (RCB16 alg. 8) = 11 field muls; adds/subs are
-    ~L-op noise next to the L^2 muls."""
-    return 11
+def field_square_u32_ops(L: int) -> int:
+    """Squaring: ~half the product-phase muls (diagonal + doubled upper
+    triangle, +1 shift per doubled row), same reduction/carry."""
+    product = (L * (L + 1) // 2) * 6
+    reduction = L * L * 5 + L * 4
+    carry = (L + 1) * 3 + L * 4
+    return product + reduction + carry
+
+
+def bucket_add_u32_ops(L: int, B: int) -> int:
+    """One pl_bucket point-window add: 11 Montgomery muls (RCB16 alg 8
+    mixed add) + ~17 field add/sub (Kogge-Stone: ~6 ops x L rows each)
+    + the B-way gather/scatter select sweep (1 cmp + 6L selects per b)
+    + digit decode noise."""
+    muls = 11 * field_mul_u32_ops(L)
+    fadds = 17 * 6 * L
+    select = B * (1 + 6 * L)
+    return muls + fadds + select + 8 * L
 
 
 def main():
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from zprize_wasm_msm_tpu.models.curves import bls12_381
     from zprize_wasm_msm_tpu.ops.curve import group
     from zprize_wasm_msm_tpu.ops.field import mont
+
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     fq = bls12_381.fq
     L = fq.n_limbs
@@ -85,71 +105,122 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- 1. u32 speed of light ------------------------------------------
-    a1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
-    b1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
-
-    def chain(k):
+    # Independent streams expose ALU ILP; a single dependent chain
+    # under-reports the ceiling ~3x (measured r3: 1229 Gops single-chain).
+    def chain(k, streams):
         @jax.jit
         def f(a, b):
-            x = a
+            xs = [a + np.uint32(s) for s in range(streams)]
             for i in range(k):
-                x = (x * b + np.uint32(i)) & np.uint32(0xFFFF)
-            return jnp.sum(x, dtype=jnp.uint32)
+                xs = [(x * b + np.uint32(i)) & np.uint32(0xFFFF) for x in xs]
+            out = xs[0]
+            for x in xs[1:]:
+                out = out ^ x
+            return jnp.sum(out, dtype=jnp.uint32)
 
         return f
 
-    t_short, _ = _bench(chain(100), a1, b1)
-    t_long, _ = _bench(chain(800), a1, b1)
-    # difference cancels the HBM read/launch overhead: 700 iters x 3 ops
-    u32_gops = 700 * 3 * N / (t_long - t_short) / 1e9
+    a1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
+    b1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
+    u32_gops = 0.0
+    for streams in (1, 4, 8):
+        t_short, _ = _bench(chain(25, streams), a1, b1)
+        t_long, _ = _bench(chain(200, streams), a1, b1)
+        gops = 175 * 3 * streams * N / (t_long - t_short) / 1e9
+        u32_gops = max(u32_gops, gops)
+        print(f"# u32 chain streams={streams}: {gops:.0f} Gops", file=sys.stderr)
 
-    # ---- 2. field mul ----------------------------------------------------
+    sol_fmul_mps = u32_gops * 1e9 / field_mul_u32_ops(L) / 1e6
+    sol_fsq_mps = u32_gops * 1e9 / field_square_u32_ops(L) / 1e6
+
+    # ---- 2. field mul: jnp path AND pallas kernels ----------------------
     CH = 4
     af = jnp.asarray(rng.integers(0, 1 << 16, size=(L, N), dtype=np.uint32))
     bf = jnp.asarray(rng.integers(0, 1 << 16, size=(L, N), dtype=np.uint32))
 
     @jax.jit
-    def mulN(a, b):
+    def mulN_jnp(a, b):
         x = a
         for _ in range(CH):
             x = mont.mont_mul(fq, x, b)
         return jnp.sum(x, dtype=jnp.uint32)  # 4-byte fetch
 
-    t_mul, _ = _bench(mulN, af, bf)
-    fmul_mps = CH * N / t_mul / 1e6
-    sol_fmul_mps = u32_gops * 1e9 / field_mul_u32_ops(L) / 1e6
-    fmul_pct = 100.0 * fmul_mps / sol_fmul_mps
+    t_mul, _ = _bench(mulN_jnp, af, bf)
+    fmul_jnp_mps = CH * N / t_mul / 1e6
 
-    # ---- 3. group add ----------------------------------------------------
-    Ng = N // 8
-    P = group.generator(bls12_381, (Ng,))
+    fmul_pl_mps = fsq_pl_mps = None
+    if on_tpu:
+        from zprize_wasm_msm_tpu.ops.field import kernels
 
-    @jax.jit
-    def add2(p):
-        x = group.add(bls12_381, p, p)
-        return jnp.sum(group.add(bls12_381, x, p)[0], dtype=jnp.uint32)
+        @jax.jit
+        def mulN_pl(a, b):
+            x = a
+            for _ in range(CH):
+                x = kernels.mont_mul(fq, x, b)
+            return jnp.sum(x, dtype=jnp.uint32)
 
-    t_add, _ = _bench(add2, P)
-    gadd_mps = 2 * Ng / t_add / 1e6
-    # full projective add = 12 muls + ~2 squarings worth of adds
-    sol_gadd_mps = sol_fmul_mps / 12
-    gadd_pct = 100.0 * gadd_mps / sol_gadd_mps
+        @jax.jit
+        def sqN_pl(a):
+            x = a
+            for _ in range(CH):
+                x = kernels.mont_square(fq, x)
+            return jnp.sum(x, dtype=jnp.uint32)
+
+        t, _ = _bench(mulN_pl, af, bf)
+        fmul_pl_mps = CH * N / t / 1e6
+        t, _ = _bench(sqN_pl, af)
+        fsq_pl_mps = CH * N / t / 1e6
+
+    # ---- 3. pl_bucket mixed-add rate ------------------------------------
+    bucket_adds_mps = None
+    c = 6
+    B = 1 << (c - 1)
+    if on_tpu:
+        from zprize_wasm_msm_tpu.ops.msm import pl_bucket
+        from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs
+
+        Wp, T = 8, 128
+        gxm = fq.to_mont_int(bls12_381.gx)
+        gym = fq.to_mont_int(bls12_381.gy)
+        Xp = jnp.asarray(np.tile(ints_to_limbs([gxm], L), (1, N)))
+        Yp = jnp.asarray(np.tile(ints_to_limbs([gym], L), (1, N)))
+        digs = jnp.asarray(
+            rng.integers(-B, B + 1, size=(Wp, N)).astype(np.int32)
+        )
+
+        @jax.jit
+        def bucket_pass(X, Y, d):
+            out = pl_bucket.bucket_accumulate(bls12_381, (X, Y), d, lanes=T, c=c)
+            return jnp.sum(out[0], dtype=jnp.uint32)
+
+        t, _ = _bench(bucket_pass, Xp, Yp, digs)
+        bucket_adds_mps = Wp * N / t / 1e6
+
+    sol_badd_mps = u32_gops * 1e9 / bucket_add_u32_ops(L, B) / 1e6
 
     out = {
         "device": jax.devices()[0].device_kind,
-        "u32_vpu_gops": round(u32_gops, 1),
-        "field_mul_Mps": round(fmul_mps, 1),
-        "field_mul_sol_Mps": round(sol_fmul_mps, 1),
-        "field_mul_sol_pct": round(fmul_pct, 1),
+        "u32_vpu_gops_ceiling": round(u32_gops, 1),
         "field_mul_u32_ops": field_mul_u32_ops(L),
-        "group_add_Mps": round(gadd_mps, 2),
-        "group_add_sol_pct": round(gadd_pct, 1),
+        "bucket_add_u32_ops": bucket_add_u32_ops(L, B),
+        "field_mul_sol_Mps": round(sol_fmul_mps, 1),
+        "field_square_sol_Mps": round(sol_fsq_mps, 1),
+        "bucket_add_sol_Mps": round(sol_badd_mps, 2),
+        "field_mul_jnp_Mps": round(fmul_jnp_mps, 1),
+        "field_mul_jnp_sol_pct": round(100 * fmul_jnp_mps / sol_fmul_mps, 1),
         "batch_log2n": logn,
     }
+    if fmul_pl_mps is not None:
+        out["field_mul_pallas_Mps"] = round(fmul_pl_mps, 1)
+        out["field_mul_pallas_sol_pct"] = round(100 * fmul_pl_mps / sol_fmul_mps, 1)
+        out["field_square_pallas_Mps"] = round(fsq_pl_mps, 1)
+        out["field_square_pallas_sol_pct"] = round(100 * fsq_pl_mps / sol_fsq_mps, 1)
+    if bucket_adds_mps is not None:
+        out["bucket_add_Mps"] = round(bucket_adds_mps, 2)
+        out["bucket_add_sol_pct"] = round(100 * bucket_adds_mps / sol_badd_mps, 1)
+        out["bucket_effective_fmul_Mps"] = round(bucket_adds_mps * 11, 1)
     print(json.dumps(out))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PERF.json"
-    )
+    path = os.path.join(REPO, "PERF.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# wrote {path}", file=sys.stderr)

@@ -84,12 +84,16 @@ class CurveContext:
         s = self.scalars_to_device(ks)
         return self.result_to_affine(self.msm(P, s, **kw))
 
-    def msm_legacy(self, points, scalars, **kw):
-        """The reference's simpler engine (g1m_multiexpAffine_wasmcurve,
-        build_multiexp.js:251): same bucket method without GLV; here the
-        generic engine with GLV off — a differential oracle for msm()."""
-        kw.setdefault("impl", "xla")
-        return pippenger.msm(self.spec, points, scalars, **kw)
+    def msm_legacy(self, points, scalars, max_bits=None):
+        """The reference's second engine (g1m_multiexpAffine_wasmcurve,
+        build_multiexp.js:251), used as a differential oracle for msm()
+        (test/batchAffine.js:1258-1301).  Here: an algorithmically disjoint
+        per-point double-and-add + tree-sum path (ops.msm.naive) that shares
+        NO pipeline stage with the bucket engines — a shared-stage bug
+        cannot cancel out of the comparison."""
+        from ..ops.msm.naive import msm_naive
+
+        return msm_naive(self.spec, points, scalars, max_bits=max_bits)
 
     # ---- group-op parity surface (build_curve_jacobian_a0.js exports) -----
 
@@ -173,6 +177,22 @@ class CurveContext:
 
     def times_scalar(self, points, scalars):
         return group.times_scalar(self.spec, points, scalars)
+
+    def group_map(self, T):
+        """SvdW hash-to-curve (ref mnt6753 g1m_groupMap,
+        build_mnt6753.js:1362-1490).  T: (L, N) Montgomery field batch ->
+        projective point batch.  MNT6753 G1 (curves with registered SvdW
+        constants) only."""
+        from ..ops.curve import groupmap
+
+        return groupmap.group_map(self.spec, T)
+
+    def field_exp(self, a, e):
+        """Runtime-exponent field exponentiation (ref f1m_exp,
+        build_timesscalar.js wired at build_f1m.js:1375-1384): a, e device
+        batches — e as uint32 16-bit limbs, per-lane exponents."""
+        assert self.spec.ext == 1, "field_exp is a base-field op"
+        return mont.exp(self.spec.fq, a, e)
 
     def to_affine(self, p):
         """normalize / batchToAffine (ref :940-1128) — batched by nature."""

@@ -395,6 +395,34 @@ def exp_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
 
 
 @_specjit(0)
+def exp(spec: FieldSpec, a: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """a^e for a DEVICE-resident exponent (the reference's runtime f1m_exp,
+    build_timesscalar.js wired at build_f1m.js:1375-1384).
+
+    a: (L, *batch) Montgomery; e: (Le, *batch) uint32 16-bit limbs
+    (standard domain, little-endian) — per-lane exponents.
+    MSB-first square-and-multiply over all Le*16 bits, branch-free.
+    """
+    Le = e.shape[0]
+    nbits = Le * 16
+    batch = a.shape[1:]
+    acc = one_mont(spec, batch)
+    # bits MSB-first: reverse limb order, walk bits 15..0 within each limb
+    shifts = jnp.asarray(
+        np.arange(15, -1, -1, dtype=np.uint32).reshape((1, 16) + (1,) * len(batch))
+    )
+    bits = (jnp.flip(e, axis=0)[:, None] >> shifts) & 1
+    bits = bits.reshape((nbits,) + batch)
+
+    def body(i, acc):
+        acc = mont_square(spec, acc)
+        with_mul = mont_mul(spec, acc, a)
+        return _select(bits[i] == 1, with_mul, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, acc)
+
+
+@_specjit(0)
 def inverse(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """a^{-1} in Montgomery form via Fermat: a^(q-2).
 
