@@ -78,29 +78,37 @@ def main():
     n = 1 << LOG2N
     fq, fr = bls12_381.fq, bls12_381.fr
 
-    # Generate a valid point batch device-side: random scalars times G would
-    # need an MSM; instead tile a small set of true multiples of G computed
-    # host-side (cheap), with random full-width scalars.  Bucket paths are
-    # digit-driven, so scalar randomness exercises the pipeline fully.
-    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    # DISTINCT bases: n device-computed multiples [m_i]G with distinct
+    # random 62-bit m_i (a tiled-duplicate batch would hit the doubling
+    # case in every bucket repeatedly — unrepresentative of real MSM
+    # inputs).  The MSM still collapses to (sum_i k_i*m_i) * G for cheap
+    # exact host verification.
+    from zprize_wasm_msm_tpu.models.context import build_curve
+    from zprize_wasm_msm_tpu.ops.curve import group
 
-    oc = OracleCurve(
-        q=bls12_381.q, a=0, b=bls12_381.b, r=bls12_381.r,
-        gx=bls12_381.gx, gy=bls12_381.gy,
-    )
-    base = 64
+    ctx = build_curve(bls12_381)
     rng = np.random.default_rng(123)
-    base_mults = [int(rng.integers(1, 1 << 62)) for _ in range(base)]
-    pts = [oc.mul(oc.g, m) for m in base_mults]
-    xs = np.asarray(
-        ints_to_limbs([fq.to_mont_int(p[0]) for p in pts], fq.n_limbs)
-    )
-    ys = np.asarray(
-        ints_to_limbs([fq.to_mont_int(p[1]) for p in pts], fq.n_limbs)
-    )
-    reps = n // base
-    X = jnp.asarray(np.tile(xs, (1, reps)))
-    Y = jnp.asarray(np.tile(ys, (1, reps)))
+    base_mults = rng.integers(1, 1 << 62, size=(n,), dtype=np.uint64)
+    gx = fq.to_mont_int(bls12_381.gx)
+    gy = fq.to_mont_int(bls12_381.gy)
+    GX = jnp.asarray(np.broadcast_to(
+        np.asarray(ints_to_limbs([gx], fq.n_limbs)), (fq.n_limbs, n)
+    ).copy())
+    GY = jnp.asarray(np.broadcast_to(
+        np.asarray(ints_to_limbs([gy], fq.n_limbs)), (fq.n_limbs, n)
+    ).copy())
+    m_limbs = jnp.asarray(ints_to_limbs([int(m) for m in base_mults], 4))
+
+    @jax.jit
+    def make_bases(GX, GY, m):
+        P = group.from_affine(bls12_381, (GX, GY))
+        return group.to_affine(bls12_381, group.times_scalar(bls12_381, P, m))
+
+    t0 = time.time()
+    X, Y = make_bases(GX, GY, m_limbs)
+    X.block_until_ready()
+    log(f"distinct bases [m_i]G built on device in {time.time()-t0:.1f}s")
+
     ks = rng.integers(0, 1 << 62, size=(n,), dtype=np.uint64)
     # widen to full 255-bit scalars: multiply by a mixer host-side
     mix = int.from_bytes(rng.bytes(24), "little")
@@ -147,18 +155,19 @@ def main():
     best = min(times)
     pps = n / best
 
-    # ---- verify: the bases are multiples m_j of G tiled n/64 times, so the
-    # MSM collapses to (sum_i k_i * m_{i mod 64} mod r) * G — one cheap
-    # host-side scalar-mul.  A perf "win" that computes garbage cannot pass.
+    # ---- verify: the bases are distinct multiples [m_i]G, so the MSM
+    # collapses to (sum_i k_i * m_i mod r) * G — one cheap host-side
+    # scalar-mul.  A perf "win" that computes garbage cannot pass.
     log("verifying result ...")
-    from zprize_wasm_msm_tpu.models.context import build_curve
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
 
-    mults = [int(m) for m in base_mults]
-    total = sum(k * mults[i % base] for i, k in enumerate(kints)) % bls12_381.r
-    expected = oc.mul(oc.g, total)
-    got = build_curve(bls12_381).result_to_affine(
-        tuple(jnp.asarray(r) for r in res)
+    oc = OracleCurve(
+        q=bls12_381.q, a=0, b=bls12_381.b, r=bls12_381.r,
+        gx=bls12_381.gx, gy=bls12_381.gy,
     )
+    total = sum(k * int(m) for k, m in zip(kints, base_mults)) % bls12_381.r
+    expected = oc.mul(oc.g, total)
+    got = ctx.result_to_affine(tuple(jnp.asarray(r) for r in res))
     assert got == expected, "MSM result verification FAILED"
     log("verified OK")
     out = {

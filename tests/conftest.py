@@ -80,3 +80,57 @@ def _drop_compiled_executables():
     """
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# smoke tier: a bounded (< 10 min) fast gate over every layer (VERDICT r3 #5).
+# Tests are smoke when (a) explicitly listed here, or (b) parameterized on a
+# toy curve/field (param id contains "toy") and not marked slow.
+# ---------------------------------------------------------------------------
+
+_SMOKE_TESTS = {
+    # MSM pipeline stages + engines (toy width)
+    "test_msm.py::test_raw_window_digits",
+    "test_msm.py::test_signed_window_digits",
+    "test_msm.py::test_msm_e2e_toy",
+    "test_msm.py::test_engine_differential_naive_vs_bucket_toy",
+    "test_msm.py::test_resolve_config_explicit_large_c_pallas",
+    # GLV host-side decompose bounds (device part is tiny)
+    "test_glv.py::test_phi_is_lambda",
+    # sharded path on the virtual mesh (toy)
+    "test_sharded.py::test_eight_devices_available",
+    "test_sharded.py::test_sharded_msm_toy_matches_oracle_and_single_device",
+    # field spec constants (host-only)
+    "test_field.py::test_spec_constants",
+    # serde sign convention (host+small device)
+    "test_groupmap.py::test_field_exp_runtime_toy",
+    "test_g3.py::test_f3_sign_convention",
+    "test_g3.py::test_ext3_result_to_affine_zero",
+    # poly layer over toy Fr
+    "test_poly.py::test_construct_lc",
+    "test_poly.py::test_build_abc_join",
+    "test_fft.py::test_ifft_roundtrip",
+    # toy curve group laws (no "toy" in the nodeid)
+    "test_g3.py::test_f3_field_ops",
+    "test_g3.py::test_g3_group_law_differential",
+    "test_curve_general_a.py::test_general_a_msm_differential",
+    # Pallas kernels in interpret mode (toy spec)
+    "test_kernels.py::test_kcore_matches_mont",
+    "test_kernels.py::test_kgroup_matches_group",
+    "test_kernels.py::test_pl_bucket_matches_xla_path",
+    "test_kernels.py::test_sorted_engine_matches_oracle_g1[4]",
+    # pairing algebra at toy scale
+    "test_pairing_fast.py::test_mnt6_tower_algebra_toy",
+    "test_pairing_fast.py::test_bn_mul024_matches_dense",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        base = rel.split("[")[0]
+        is_toy_param = "[" in rel and "toy" in rel.split("[", 1)[1]
+        if rel in _SMOKE_TESTS or base in _SMOKE_TESTS or (
+            is_toy_param and "slow" not in item.keywords
+        ):
+            item.add_marker(pytest.mark.smoke)

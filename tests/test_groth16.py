@@ -1,0 +1,62 @@
+"""Groth16 verifier end-to-end: MSM + product-of-pairings on device.
+
+The instance is synthesized host-side from random exponents so the
+pairing identity holds by construction iff the verifier computes
+   e(-A,B) e(alpha,beta) e(vk_x,gamma) e(C,delta)
+correctly: with A = a*G1, B = b*G2, vk_x = k*G1 (via the IC MSM) and
+C = (ab - alpha*beta - k*gamma) * delta^{-1} * G1 the product is exactly
+1.  A corrupted proof must fail.
+"""
+
+import numpy as np
+import pytest
+
+from zprize_wasm_msm_tpu.models.context import build_curve
+from zprize_wasm_msm_tpu.models.curves import bls12_381, bls12_381_g2
+from zprize_wasm_msm_tpu.models.groth16 import Proof, VerifyingKey, verify
+from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
+
+pytestmark = pytest.mark.slow  # full-width pairings
+
+
+def make_instance(rng, n_publics=2):
+    r = bls12_381.r
+    oc1 = OracleCurve(
+        q=bls12_381.q, a=0, b=bls12_381.b, r=r,
+        gx=bls12_381.gx, gy=bls12_381.gy,
+    )
+    oc2 = OracleCurve(
+        q=bls12_381_g2.q, a=0, b=bls12_381_g2.b, r=r,
+        gx=bls12_381_g2.gx, gy=bls12_381_g2.gy,
+        field=F2(bls12_381_g2.q, bls12_381_g2.nr),
+    )
+    rnd = lambda: int.from_bytes(rng.bytes(31), "little") % r
+    alpha, beta, gamma, delta, a, b = (rnd() for _ in range(6))
+    publics = [rnd() for _ in range(n_publics)]
+    ics = [rnd() for _ in range(n_publics + 1)]
+    k = (ics[0] + sum(p * i for p, i in zip(publics, ics[1:]))) % r
+    c = (a * b - alpha * beta - k * gamma) % r * pow(delta, -1, r) % r
+
+    vk = VerifyingKey(
+        alpha1=oc1.mul(oc1.g, alpha),
+        beta2=oc2.mul(oc2.g, beta),
+        gamma2=oc2.mul(oc2.g, gamma),
+        delta2=oc2.mul(oc2.g, delta),
+        ic=[oc1.mul(oc1.g, i) for i in ics],
+    )
+    proof = Proof(a=oc1.mul(oc1.g, a), b=oc2.mul(oc2.g, b), c=oc1.mul(oc1.g, c))
+    return vk, proof, publics, oc1, c
+
+
+def test_groth16_verify_bls12_381(rng):
+    ctx1 = build_curve(bls12_381)
+    ctx2 = build_curve(bls12_381_g2)
+    vk, proof, publics, oc1, c = make_instance(rng)
+    assert verify(ctx1, ctx2, vk, proof, publics) is True
+
+    # corrupt C -> must fail
+    bad = Proof(a=proof.a, b=proof.b, c=oc1.mul(oc1.g, c + 1))
+    assert verify(ctx1, ctx2, vk, bad, publics) is False
+
+    # corrupt a public input -> must fail
+    assert verify(ctx1, ctx2, vk, proof, [publics[0] + 1] + publics[1:]) is False

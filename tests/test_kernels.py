@@ -435,3 +435,44 @@ def test_segscan_xla_matches_pallas(rng):
     got = pl_sorted._segscan_xla(toy, px, py, pz, seg, rounds)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pl_reduce_lane_and_finish(rng):
+    """pl_reduce.lane_reduce ≡ the jnp lane tree, and pl_reduce.finish ≡
+    bucket_reduce + window_fold, as group elements (toy, interpret mode)."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    from zprize_wasm_msm_tpu.ops.msm import pl_reduce
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n, c, T = 48, 4, 4
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+    digits = windows.signed_window_digits(sc, c, 16)
+
+    with pltpu.force_tpu_interpret_mode():
+        raw = pl_bucket.bucket_accumulate(
+            toy, (X, Y), digits, lanes=T, c=c, raw=True
+        )
+        got_b = pl_reduce.lane_reduce(toy, raw)  # (L, W, B)
+        got_pt = pl_reduce.finish(toy, got_b, c)
+    tr = tuple(jnp.transpose(r, (1, 2, 3, 0)) for r in raw)
+    ref_b = pippenger._lane_tree_reduce(toy, tr)
+    # bucket sums must match exactly (same addition order per bucket? no —
+    # compare as group elements per (w, b))
+    gb = group.to_affine(toy, got_b)
+    rb = group.to_affine(toy, ref_b)
+    for g, r in zip(gb, rb):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    # finish == bucket_reduce + window_fold as a group element
+    ref_pt = pippenger.window_fold(
+        toy, pippenger.bucket_reduce(toy, ref_b), c
+    )
+    ga = group.to_affine(toy, tuple(x[:, None] for x in got_pt))
+    ra = group.to_affine(toy, tuple(x[:, None] for x in ref_pt))
+    for g, r in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

@@ -155,6 +155,14 @@ def main():
         guarded("g2_2^16", run_msm, bls12_381_g2, 16, reps=args.reps)
     if "5" in want:
         guarded("headline_2^20", run_msm, bls12_381, 20, reps=args.reps)
+    if "6" in want:
+        # largest single-chip configs (the 2^26 scaling story, VERDICT #7):
+        # per-device working set at N=2^26/8 sharded equals the 2^23 point
+        # (GLV-doubled 2^24 lanes) — measuring 2^22/2^23 single-chip grounds
+        # the multi-host projection in measured per-stage times
+        guarded("large_2^22", run_msm, bls12_381, 22, reps=max(1, args.reps - 1))
+    if "7" in want:
+        guarded("large_2^23", run_msm, bls12_381, 23, reps=1)
     print(f"# wrote {args.out}", file=sys.stderr)
 
 

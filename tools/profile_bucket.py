@@ -73,18 +73,35 @@ def main():
         print(f"{name:28s} {best*1e3:9.1f} ms   (first {first:6.1f}s)", file=sys.stderr, flush=True)
         return out
 
-    # stage 1: GLV preprocess
-    glv_fn = jax.jit(
-        lambda X, Y, sc: glv_mod.preprocess_endomorphism(curve, (X, Y), sc)
+    # stage selection: each stage's standalone jit is a NEW compile; a
+    # wedged compile (e.g. the GLV graph at 2^20 hung the remote compile
+    # helper >28 min) must not sink the rest — select via PROF_STAGES.
+    stages = set(
+        os.environ.get("PROF_STAGES", "bucket,reduce,fold,e2e").split(",")
     )
-    (X2, Y2), s2 = timed("glv_preprocess", glv_fn, X, Y, sc)
 
-    # stage 2: digit recode
-    dig_fn = jax.jit(
-        lambda s: windows.signed_window_digits(s, c, max_bits),
+    # stage 1+2 (only when requested — their standalone jits are the
+    # riskiest compiles): GLV preprocess and digit recode
+    if "glv" in stages:
+        glv_fn = jax.jit(
+            lambda X, Y, sc: glv_mod.preprocess_endomorphism(curve, (X, Y), sc)
+        )
+        (_, _), s2 = timed("glv_preprocess", glv_fn, X, Y, sc)
+        if "digits" in stages:
+            dig_fn = jax.jit(lambda s: windows.signed_window_digits(s, c, max_bits))
+            timed("signed_window_digits", dig_fn, s2)
+
+    # synthetic bucket-stage inputs with the GLV-doubled shapes: stages
+    # 3-6 are digit-value-driven, so uniform random signed digits exercise
+    # them identically to real GLV output
+    N2 = 2 * n
+    B = 1 << (c - 1)
+    W = windows.num_windows(max_bits, c)
+    X2 = jnp.asarray(np.tile(np.asarray(X)[:, :1], (1, N2)))
+    Y2 = jnp.asarray(np.tile(np.asarray(Y)[:, :1], (1, N2)))
+    digits = jnp.asarray(
+        rng.integers(-B, B + 1, size=(W, N2)).astype(np.int32)
     )
-    digits = timed("signed_window_digits", dig_fn, s2)
-    W, N2 = digits.shape
     print(f"# W={W} windows, N={N2} points (GLV-doubled), c={c}, T={T}, Wp={Wp}",
           file=sys.stderr, flush=True)
 
@@ -96,41 +113,49 @@ def main():
         else digits
     )
     passes = (W + wpad) // Wp
-    acc_fn = jax.jit(
-        lambda X, Y, d: pl_bucket.bucket_accumulate(curve, (X, Y), d, lanes=T, c=c)
-    )
-    part = timed("bucket_pass_1xWp", acc_fn, X2, Y2, dpad[:Wp])
-    results["bucket_passes_total_est"] = round(results["bucket_pass_1xWp"] * passes, 4)
     adds = N2 * Wp
-    print(f"# pass adds/s = {adds/results['bucket_pass_1xWp']/1e6:.1f} M "
-          f"({passes} passes)", file=sys.stderr, flush=True)
+    if "bucket" in stages:
+        acc_fn = jax.jit(
+            lambda X, Y, d: pl_bucket.bucket_accumulate(curve, (X, Y), d, lanes=T, c=c)
+        )
+        part = timed("bucket_pass_1xWp", acc_fn, X2, Y2, dpad[:Wp])
+        results["bucket_passes_total_est"] = round(
+            results["bucket_pass_1xWp"] * passes, 4
+        )
+        print(f"# pass adds/s = {adds/results['bucket_pass_1xWp']/1e6:.1f} M "
+              f"({passes} passes)", file=sys.stderr, flush=True)
 
-    # stage 4: lane tree reduce on one pass's output
-    red_fn = jax.jit(lambda b: pippenger._lane_tree_reduce(curve, b))
-    lane_red = timed("lane_tree_reduce_1xWp", red_fn, part)
-    results["lane_reduce_total_est"] = round(
-        results["lane_tree_reduce_1xWp"] * passes, 4
-    )
+        if "reduce" in stages:
+            # stage 4: lane tree reduce on one pass's output
+            red_fn = jax.jit(lambda b: pippenger._lane_tree_reduce(curve, b))
+            lane_red = timed("lane_tree_reduce_1xWp", red_fn, part)
+            results["lane_reduce_total_est"] = round(
+                results["lane_tree_reduce_1xWp"] * passes, 4
+            )
 
-    # stage 5: bucket reduce over all W windows
-    full = tuple(
-        jnp.concatenate([jnp.broadcast_to(b, b.shape)] * passes, axis=1)[:, :W]
-        for b in lane_red
-    )
-    bred_fn = jax.jit(lambda b: pippenger.bucket_reduce(curve, b))
-    per_window = timed("bucket_reduce", bred_fn, full)
+            # stage 5: bucket reduce over all W windows
+            full = tuple(
+                jnp.concatenate([jnp.broadcast_to(b, b.shape)] * passes, axis=1)[:, :W]
+                for b in lane_red
+            )
+            bred_fn = jax.jit(lambda b: pippenger.bucket_reduce(curve, b))
+            per_window = timed("bucket_reduce", bred_fn, full)
 
-    # stage 6: window fold
-    fold_fn = jax.jit(lambda pw: pippenger.window_fold(curve, pw, c))
-    timed("window_fold", fold_fn, per_window)
+            if "fold" in stages:
+                # stage 6: window fold
+                fold_fn = jax.jit(lambda pw: pippenger.window_fold(curve, pw, c))
+                timed("window_fold", fold_fn, per_window)
 
-    # end-to-end (the bench jit, for cross-checking the sum of stages)
-    @jax.jit
-    def e2e(X, Y, sc):
-        pts2, s2 = glv_mod.preprocess_endomorphism(curve, (X, Y), sc)
-        return pippenger.msm(curve, pts2, s2, c=None, max_bits=max_bits, impl="auto")
+    if "e2e" in stages:
+        # end-to-end (the bench jit — cached from bench.py runs)
+        @jax.jit
+        def e2e(X, Y, sc):
+            pts2, s2 = glv_mod.preprocess_endomorphism(curve, (X, Y), sc)
+            return pippenger.msm(
+                curve, pts2, s2, c=None, max_bits=max_bits, impl="auto"
+            )
 
-    timed("end_to_end_msm", e2e, X, Y, sc)
+        timed("end_to_end_msm", e2e, X, Y, sc)
 
     results["meta"] = {
         "logn": logn, "c": c, "T": T, "Wp": Wp, "W": W,

@@ -353,6 +353,40 @@ def resolve_config(
     return impl, c, lanes
 
 
+def _bucket_sums_pallas(curve, points, digits, c, lanes):
+    """Dense (L, W, B) bucket sums via the VMEM-bucket sweep kernel.
+
+    Small-c regime: buckets must fit VMEM (see pl_bucket docstring).
+    Windows are processed in passes of up to Wp = 8 (a full sublane tile);
+    the LAST pass runs at the true remainder width (e.g. 7 for W = 23)
+    instead of padding with an all-zero window — identity adds cost the
+    same as real ones in the sweep, so padding wasted a full window of
+    throughput.  Lane reduction runs in the pl_reduce kernel (the jnp
+    tree was launch-latency-bound at ~55 ms/pass)."""
+    from . import pl_bucket, pl_reduce
+
+    X, Y = points
+    W, N = digits.shape
+    assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
+    assert curve.ext == 1, "pallas bucket kernel is base-field only"
+    Wp = min(8, W)
+    T = lanes if lanes is not None else 128
+    while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
+        T //= 2
+    parts = []
+    for i in range(0, W, Wp):
+        wi = min(Wp, W - i)
+        raw = pl_bucket.bucket_accumulate(
+            curve, (X, Y), digits[i : i + wi], lanes=T, c=c, raw=True
+        )
+        parts.append(pl_reduce.lane_reduce(curve, raw))  # (L, wi, B)
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(
+        jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
+    )
+
+
 def window_sums(
     curve: CurveSpec,
     points: Tuple[jnp.ndarray, jnp.ndarray],
@@ -380,34 +414,7 @@ def window_sums(
         return bucket_reduce_grouped(curve, buckets)
 
     if impl == "pallas":
-        # small-c regime: buckets must fit VMEM (see pl_bucket docstring).
-        # Windows are processed in passes of Wp = 8 (a full sublane tile):
-        # points stream through the chip once per pass, so a larger c (VMEM
-        # would not fit all windows at once) still wins — N*W total adds
-        # shrink ~30% going c=4 -> c=6 while HBM streaming stays negligible
-        # next to the mixed-add arithmetic.
-        assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
-        assert curve.ext == 1, "pallas bucket kernel is base-field only"
-        Wp = min(8, W)
-        T = lanes if lanes is not None else 128
-        while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
-            T //= 2
-        wpad = (-W) % Wp
-        if wpad:  # zero digits pass through as identity adds
-            digits = jnp.concatenate(
-                [digits, jnp.zeros((wpad, digits.shape[1]), digits.dtype)], axis=0
-            )
-        parts = [
-            pl_bucket.bucket_accumulate(
-                curve, (X, Y), digits[i : i + Wp], lanes=T, c=c
-            )
-            for i in range(0, W + wpad, Wp)
-        ]
-        buckets4 = tuple(
-            jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
-        )
-        buckets = _lane_tree_reduce_jit(curve, buckets4)
-        buckets = tuple(b[:, :W] for b in buckets)
+        buckets = _bucket_sums_pallas(curve, (X, Y), digits, c, lanes)
         return bucket_reduce(curve, buckets)
 
     # jnp private-bucket scatter path
@@ -457,8 +464,17 @@ def msm(
         curve, N, max_bits, c, lanes, mem_budget_bytes, impl
     )
     digits = windows.signed_window_digits(scalars, c, max_bits)
+    if impl == "pallas":
+        # fused single-chip path: sweep kernel -> lane-reduce kernel ->
+        # finish kernel (bucket_reduce + window_fold collapsed into one
+        # Pallas program; the serial jnp loops were ~145 ms of launch
+        # overhead at 2^20)
+        from . import pl_reduce
+
+        W = digits.shape[0]
+        B = 1 << (c - 1)
+        if W <= 1024 // B:
+            buckets = _bucket_sums_pallas(curve, (X, Y), digits, c, lanes)
+            return pl_reduce.finish(curve, buckets, c)
     per_window = window_sums(curve, (X, Y), digits, c, impl, lanes)
     return window_fold(curve, per_window, c)
-
-
-_lane_tree_reduce_jit = jax.jit(_lane_tree_reduce, static_argnums=(0,))

@@ -105,7 +105,9 @@ def _kernel(curve: CurveSpec, c: int, dig_ref, x_ref, y_ref,
         bz_ref[b] = kcore.kselect(m, new[2], bz_ref[b])
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("lanes", "c"))
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("lanes", "c", "raw")
+)
 def bucket_accumulate(
     curve: CurveSpec,
     points: Tuple[jnp.ndarray, jnp.ndarray],
@@ -113,6 +115,7 @@ def bucket_accumulate(
     *,
     lanes: int = 128,
     c: int = 4,
+    raw: bool = False,
 ):
     """Scatter-accumulate points into per-(window, lane) signed buckets.
 
@@ -158,6 +161,10 @@ def bucket_accumulate(
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[pltpu.VMEM((2 * L + 2, W, T), U32)],
     )(d3, x3, y3)
+    if raw:
+        # kernel-native layout, fed straight into pl_reduce.lane_reduce
+        # (skips the (B,L,W,T) -> (L,W,T,B) HBM transpose)
+        return (bx, by, bz)
     # (B, L, W, T) -> (L, W, T, B)
     perm = (1, 2, 3, 0)
     return (

@@ -1,0 +1,207 @@
+"""Pallas reduction kernels: lane tree-reduce + fused bucket/window finish.
+
+Profiling the headline MSM (tools/profile_bucket.py, v5e, 2^20 points)
+showed the bucket sweep at ~50 M adds/s (~85% of the VPU ALU ceiling)
+but 310 ms of the 1.36 s wall in the jnp reduction stages — each jnp
+group add on a small batch is ~200 tiny XLA ops, so the serial
+lane-tree / running-sum / Horner loops are launch-latency-bound, not
+compute-bound.  These kernels run the same reductions as single Pallas
+programs with in-register state:
+
+  lane_reduce:  (B, L, W, T) bucket partials -> (B, L, W); grid over B,
+                log2(T) masked roll-halving rounds per block.
+  finish:       dense (L, W, B) bucket sums -> ONE projective point;
+                replaces bucket_reduce + window_fold with
+                  sum_{w,b} [ (b+1) * 2^(c*w) ] S_{w,b}
+                evaluated as: a c-bit double-and-add ladder scaling every
+                (w, b) lane by (b+1) in parallel, a masked roll tree over
+                the bucket segment, a per-lane selective doubling ladder
+                (lane w doubles c*w times), and a circular butterfly
+                all-sum.  ~(c + log2(B) + c*(W-1) + 10) sequential group
+                ops total, vs B + W*(c+1) serial jnp ops before.
+
+Reference lineage: reduceBucketsToSinglePoint (running sum over buckets,
+wasmcurves/src/build_multiexp_opt.js:1597-1706) + accumulateAcrossChunks
+(Horner over windows, :1710-1746) — same weighted sum, reassociated into
+a parallel form (the group is abelian; the result is the same point).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curve import kgroup
+from ..curve.spec import CurveSpec
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# lane tree-reduce
+# ---------------------------------------------------------------------------
+
+
+def _lane_reduce_kernel(curve, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref, macc):
+    T = bx_ref.shape[3]
+    rounds = (T - 1).bit_length()
+    x, y, z = bx_ref[0], by_ref[0], bz_ref[0]  # (L, W, T)
+    t_iota = jax.lax.broadcasted_iota(I32, x.shape[1:], 1)
+
+    def body(r, p):
+        x, y, z = p
+        half = jnp.int32(T) >> (r + 1)
+        # left-rotate by half == right-rotate by T - half (Mosaic's dynamic
+        # rotate wants a non-negative lane shift)
+        s = jnp.int32(T) - half
+        rx = pltpu.roll(x, s, 2)
+        ry = pltpu.roll(y, s, 2)
+        rz = pltpu.roll(z, s, 2)
+        nx, ny, nz = kgroup.kadd(curve, macc, (x, y, z), (rx, ry, rz))
+        keep = t_iota < half
+        return (
+            kgroup_select(keep, nx, x),
+            kgroup_select(keep, ny, y),
+            kgroup_select(keep, nz, z),
+        )
+
+    x, y, z = jax.lax.fori_loop(0, rounds, body, (x, y, z))
+    ox_ref[0], oy_ref[0], oz_ref[0] = x, y, z
+
+
+def kgroup_select(mask, a, b):
+    from ..field import kcore
+
+    return kcore.kselect(mask, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def lane_reduce(curve: CurveSpec, buckets):
+    """(bx, by, bz) each (B, L, W, T) -> (L, W, B) lane-reduced sums."""
+    bx, by, bz = buckets
+    B, L, W, T = bx.shape
+    acc_rows = curve.kfield.acc_rows
+    out_shape = jax.ShapeDtypeStruct((B, L, W, T), U32)
+    spec = pl.BlockSpec((1, L, W, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, oz = pl.pallas_call(
+        functools.partial(_lane_reduce_kernel, curve),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((acc_rows, W, T), U32)],
+    )(bx, by, bz)
+    # (B, L, W, T) -> take lane 0 -> (L, W, B)
+    return tuple(jnp.transpose(o[:, :, :, 0], (1, 2, 0)) for o in (ox, oy, oz))
+
+
+# ---------------------------------------------------------------------------
+# fused finish: dense buckets -> one point
+# ---------------------------------------------------------------------------
+
+
+def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref, macc):
+    B = 1 << (c - 1)
+    shape = bx_ref.shape[1:]  # (8, 128)
+    l_iota = (
+        jax.lax.broadcasted_iota(I32, shape, 0) * 128
+        + jax.lax.broadcasted_iota(I32, shape, 1)
+    )  # flat lane id in [0, 1024)
+    b_idx = l_iota % B
+    w_idx = l_iota // B
+
+    S = (bx_ref[:], by_ref[:], bz_ref[:])
+    zero = kgroup.kzero_point(curve, shape)
+
+    # phase 1a: acc = (b+1) * S via MSB-first double-and-add on k = b+1
+    # (c bits: b+1 <= 2^(c-1))
+    k = b_idx + 1
+
+    def ladder(i, acc):
+        acc = kgroup.kdouble(curve, macc, acc)
+        t = kgroup.kadd(curve, macc, acc, S)
+        bit = (k >> (c - 1 - i)) & 1
+        return tuple(
+            kgroup_select(bit == 1, tn, an) for tn, an in zip(t, acc)
+        )
+
+    A = jax.lax.fori_loop(0, c, ladder, zero)
+
+    # phase 1b: masked roll tree within each B-lane bucket segment
+    def seg_tree(r, A):
+        half = jnp.int32(B) >> (r + 1)
+        s = jnp.int32(128) - half  # non-negative left-rotate on lanes
+        rolled = tuple(pltpu.roll(a, s, 2) for a in A)
+        n = kgroup.kadd(curve, macc, A, rolled)
+        keep = b_idx < half
+        return tuple(kgroup_select(keep, nn, an) for nn, an in zip(n, A))
+
+    if B > 1:
+        A = jax.lax.fori_loop(0, (B - 1).bit_length(), seg_tree, A)
+
+    # keep only each window's total (segment head); identity elsewhere
+    valid = (b_idx == 0) & (w_idx < W)
+    A = tuple(kgroup_select(valid, an, zn) for an, zn in zip(A, zero))
+
+    # phase 2: lane w doubles c*w times -> [2^(c*w)] A_w
+    def sel_double(i, A):
+        d = kgroup.kdouble(curve, macc, A)
+        use = i < c * w_idx
+        return tuple(kgroup_select(use, dn, an) for dn, an in zip(d, A))
+
+    if W > 1:
+        A = jax.lax.fori_loop(0, c * (W - 1), sel_double, A)
+
+    # phase 3: circular butterfly all-sum (identity in non-head lanes is
+    # absorbed by the complete add); 7 lane rounds + 3 sublane rounds
+    def bf_lane(r, A):
+        half = jnp.int32(64) >> r
+        rolled = tuple(pltpu.roll(a, half, 2) for a in A)
+        return kgroup.kadd(curve, macc, A, rolled)
+
+    A = jax.lax.fori_loop(0, 7, bf_lane, A)
+
+    # sublane rounds use STATIC shifts (Mosaic's dynamic rotate is a
+    # lane-axis op; sublane rotates lower as static shuffles)
+    for half in (4, 2, 1):
+        rolled = tuple(pltpu.roll(a, half, 1) for a in A)
+        A = kgroup.kadd(curve, macc, A, rolled)
+
+    ox_ref[:], oy_ref[:], oz_ref[:] = A
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def finish(curve: CurveSpec, buckets, c: int):
+    """(bx, by, bz) each (L, W, B) dense bucket sums -> ONE projective
+    point (L,) x3: sum_w 2^(c*w) sum_b (b+1) S_{w,b}."""
+    bx, by, bz = buckets
+    L, W, B = bx.shape
+    assert B == 1 << (c - 1)
+    slots = 1024 // B
+    assert W <= slots, f"finish kernel needs W ({W}) <= 1024/B ({slots})"
+    acc_rows = curve.kfield.acc_rows
+
+    def to_grid(a):  # (L, W, B) -> (L, 8, 128), lane l = w*B + b
+        pad = jnp.zeros((L, slots - W, B), U32)
+        flat = jnp.concatenate([a, pad], axis=1).reshape(L, 1024)
+        return flat.reshape(L, 8, 128)
+
+    gx, gy, gz = to_grid(bx), to_grid(by), to_grid(bz)
+    out_shape = jax.ShapeDtypeStruct((L, 8, 128), U32)
+    spec = pl.BlockSpec((L, 8, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, oz = pl.pallas_call(
+        functools.partial(_finish_kernel, curve, c, W),
+        grid=(1,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((acc_rows, 8, 128), U32)],
+    )(gx, gy, gz)
+    return (ox[:, 0, 0], oy[:, 0, 0], oz[:, 0, 0])
