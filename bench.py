@@ -89,25 +89,47 @@ def main():
     ctx = build_curve(bls12_381)
     rng = np.random.default_rng(123)
     base_mults = rng.integers(1, 1 << 62, size=(n,), dtype=np.uint64)
-    gx = fq.to_mont_int(bls12_381.gx)
-    gy = fq.to_mont_int(bls12_381.gy)
-    GX = jnp.asarray(np.broadcast_to(
-        np.asarray(ints_to_limbs([gx], fq.n_limbs)), (fq.n_limbs, n)
-    ).copy())
-    GY = jnp.asarray(np.broadcast_to(
-        np.asarray(ints_to_limbs([gy], fq.n_limbs)), (fq.n_limbs, n)
-    ).copy())
-    m_limbs = jnp.asarray(ints_to_limbs([int(m) for m in base_mults], 4))
-
-    @jax.jit
-    def make_bases(GX, GY, m):
-        P = group.from_affine(bls12_381, (GX, GY))
-        return group.to_affine(bls12_381, group.times_scalar(bls12_381, P, m))
-
     t0 = time.time()
-    X, Y = make_bases(GX, GY, m_limbs)
-    X.block_until_ready()
-    log(f"distinct bases [m_i]G built on device in {time.time()-t0:.1f}s")
+    bases_cache = os.path.join(cache_dir, f"bench_bases_{LOG2N}.npz")
+    if os.path.exists(bases_cache):
+        d = np.load(bases_cache)
+        X, Y = jnp.asarray(d["X"]), jnp.asarray(d["Y"])
+        log(f"distinct bases loaded from cache in {time.time()-t0:.1f}s")
+    else:
+        # generate [m_i]G in 2^16-point chunks: one times_scalar over the
+        # full (L, 2^20) batch crashes this environment's TPU worker
+        # (scan-body HBM peak); the chunked shape is also what 2^14-scale
+        # runs compile, so one executable serves every chunk
+        gx = fq.to_mont_int(bls12_381.gx)
+        gy = fq.to_mont_int(bls12_381.gy)
+        CH = min(n, 1 << 16)
+        GX = jnp.asarray(np.broadcast_to(
+            np.asarray(ints_to_limbs([gx], fq.n_limbs)), (fq.n_limbs, CH)
+        ).copy())
+        GY = jnp.asarray(np.broadcast_to(
+            np.asarray(ints_to_limbs([gy], fq.n_limbs)), (fq.n_limbs, CH)
+        ).copy())
+
+        @jax.jit
+        def make_chunk(m):
+            P = group.from_affine(bls12_381, (GX, GY))
+            return group.to_affine(bls12_381, group.times_scalar(bls12_381, P, m))
+
+        xs, ys = [], []
+        for i in range(0, n, CH):
+            m = jnp.asarray(
+                ints_to_limbs([int(v) for v in base_mults[i : i + CH]], 4)
+            )
+            cx, cy = make_chunk(m)
+            xs.append(np.asarray(cx))
+            ys.append(np.asarray(cy))
+            if i == 0:
+                log(f"first base chunk done at {time.time()-t0:.1f}s")
+        Xh = np.concatenate(xs, axis=1)
+        Yh = np.concatenate(ys, axis=1)
+        np.savez(bases_cache, X=Xh, Y=Yh)
+        X, Y = jnp.asarray(Xh), jnp.asarray(Yh)
+        log(f"distinct bases [m_i]G built on device in {time.time()-t0:.1f}s")
 
     ks = rng.integers(0, 1 << 62, size=(n,), dtype=np.uint64)
     # widen to full 255-bit scalars: multiply by a mixer host-side
@@ -120,12 +142,22 @@ def main():
     max_bits = glv_mod.MAX_BITS
     impl = os.environ.get("BENCH_IMPL", "auto")
 
-    @jax.jit
-    def run(X, Y, sc):
+    # ONE composed jit: each per-stage dispatch through the remote-device
+    # tunnel costs tens of ms (synchronous execute RPC), so splitting the
+    # pipeline into its stage jits measured ~0.4 s/rep slower.  Set
+    # BENCH_SPLIT=1 to run per-stage executables (smaller compiles, one
+    # per stage) when debugging a compile or kernel fault.
+    def run_stages(X, Y, sc):
         pts2, s2 = glv_mod.preprocess_endomorphism(bls12_381, (X, Y), sc)
         return pippenger.msm(
             bls12_381, pts2, s2, c=c, max_bits=max_bits, impl=impl
         )
+
+    run = (
+        run_stages
+        if os.environ.get("BENCH_SPLIT") == "1"
+        else jax.jit(run_stages)
+    )
 
     def fetch(res):
         # force full materialization on host: block_until_ready alone is not

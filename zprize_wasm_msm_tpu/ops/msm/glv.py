@@ -106,7 +106,11 @@ def endomorphism(curve: CurveSpec, points: Tuple[jnp.ndarray, jnp.ndarray]):
     beta = jnp.asarray(curve.beta_mont_limbs, dtype=U32).reshape(
         (-1,) + (1,) * (X.ndim - 1)
     )
-    bx = mont.mont_mul(fq, X, jnp.broadcast_to(beta, X.shape))
+    # batch dispatch: the Pallas mul kernel on TPU (the jnp CIOS chain
+    # costs ~100 ms for the 2^20 beta*x products — most of the GLV stage)
+    from ..field import batch
+
+    bx = batch.batch_mul(fq, X, jnp.broadcast_to(beta, X.shape))
     return (bx, Y)
 
 

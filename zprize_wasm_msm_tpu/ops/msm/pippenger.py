@@ -357,13 +357,14 @@ def _bucket_sums_pallas(curve, points, digits, c, lanes):
     """Dense (L, W, B) bucket sums via the VMEM-bucket sweep kernel.
 
     Small-c regime: buckets must fit VMEM (see pl_bucket docstring).
-    Windows are processed in passes of up to Wp = 8 (a full sublane tile);
-    the LAST pass runs at the true remainder width (e.g. 7 for W = 23)
-    instead of padding with an all-zero window — identity adds cost the
-    same as real ones in the sweep, so padding wasted a full window of
-    throughput.  Lane reduction runs in the pl_reduce kernel (the jnp
-    tree was launch-latency-bound at ~55 ms/pass)."""
-    from . import pl_bucket, pl_reduce
+    Windows are processed in passes of Wp = 8 — a full sublane tile; a
+    remainder-width last pass (e.g. 7 windows) measured 2.2x SLOWER than
+    the padded 8-window pass (Mosaic relayouts on a 7-sublane shape), so
+    the tail is padded with an all-zero window instead.  Lane reduction
+    runs inside the sweep kernel's tail grid steps (one executable per
+    pass; the separate reduction kernel cost ~10 s of executable-load
+    time per first call, and the jnp tree before it ~55 ms/pass)."""
+    from . import pl_bucket
 
     X, Y = points
     W, N = digits.shape
@@ -373,18 +374,25 @@ def _bucket_sums_pallas(curve, points, digits, c, lanes):
     T = lanes if lanes is not None else 128
     while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
         T //= 2
-    parts = []
-    for i in range(0, W, Wp):
-        wi = min(Wp, W - i)
-        raw = pl_bucket.bucket_accumulate(
-            curve, (X, Y), digits[i : i + wi], lanes=T, c=c, raw=True
+    wpad = (-W) % Wp
+    if wpad:  # zero digits pass through as identity adds
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((wpad, N), digits.dtype)], axis=0
         )
-        parts.append(pl_reduce.lane_reduce(curve, raw))  # (L, wi, B)
+    parts = [
+        pl_bucket.bucket_accumulate(
+            curve, (X, Y), digits[i : i + Wp], lanes=T, c=c,
+            reduce_lanes=True,
+        )  # (L, Wp, B)
+        for i in range(0, W + wpad, Wp)
+    ]
     if len(parts) == 1:
-        return parts[0]
-    return tuple(
-        jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
-    )
+        buckets = parts[0]
+    else:
+        buckets = tuple(
+            jnp.concatenate([p[k] for p in parts], axis=1) for k in range(3)
+        )
+    return tuple(b[:, :W] for b in buckets)
 
 
 def window_sums(

@@ -57,14 +57,15 @@ def vmem_bytes(curve: CurveSpec, W: int, T: int, c: int) -> int:
     return state + scratch
 
 
-def _kernel(curve: CurveSpec, c: int, dig_ref, x_ref, y_ref,
+def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
             bx_ref, by_ref, bz_ref, acc_ref):
     fq = curve.fq
     L = fq.n_limbs
     B = 1 << (c - 1)
     W, T = dig_ref.shape[1], dig_ref.shape[2]
+    r = pl.program_id(0)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(r == 0)
     def _init():
         zeros = jnp.zeros_like(bx_ref)
         ones = kcore.kconst(fq, fq.one_mont_limbs, (W, T))  # (L, W, T)
@@ -72,41 +73,75 @@ def _kernel(curve: CurveSpec, c: int, dig_ref, x_ref, y_ref,
         by_ref[:] = jnp.broadcast_to(ones[None], by_ref.shape)
         bz_ref[:] = zeros
 
-    d = dig_ref[0]  # (W, T) int32 in [-B, B]
-    px = x_ref[0]  # (L, T)
-    py = y_ref[0]
-    pxw = jnp.broadcast_to(px[:, None, :], (L, W, T))
-    pyw = jnp.broadcast_to(py[:, None, :], (L, W, T))
+    @pl.when(r < steps)
+    def _main():
+        d = dig_ref[0]  # (W, T) int32 in [-B, B]
+        px = x_ref[0]  # (L, T)
+        py = y_ref[0]
+        pxw = jnp.broadcast_to(px[:, None, :], (L, W, T))
+        pyw = jnp.broadcast_to(py[:, None, :], (L, W, T))
 
-    is_zero = d == 0
-    neg = d < 0
-    idx = jnp.where(neg, -d, d) - 1
-    idx = jnp.where(is_zero, 0, idx)  # (W, T) in [0, B)
+        is_zero = d == 0
+        neg = d < 0
+        idx = jnp.where(neg, -d, d) - 1
+        idx = jnp.where(is_zero, 0, idx)  # (W, T) in [0, B)
 
-    y_eff = kcore.kselect(neg, kcore.kneg(fq, pyw), pyw)
-    x_eff = kcore.kselect(is_zero, jnp.zeros_like(pxw), pxw)
-    y_eff = kcore.kselect(is_zero, jnp.zeros_like(pyw), y_eff)
+        y_eff = kcore.kselect(neg, kcore.kneg(fq, pyw), pyw)
+        x_eff = kcore.kselect(is_zero, jnp.zeros_like(pxw), pxw)
+        y_eff = kcore.kselect(is_zero, jnp.zeros_like(pyw), y_eff)
 
-    # B-way masked gather of each lane's current bucket value
-    cur_x, cur_y, cur_z = bx_ref[0], by_ref[0], bz_ref[0]
-    for b in range(1, B):
-        m = idx == b
-        cur_x = kcore.kselect(m, bx_ref[b], cur_x)
-        cur_y = kcore.kselect(m, by_ref[b], cur_y)
-        cur_z = kcore.kselect(m, bz_ref[b], cur_z)
+        # B-way masked gather of each lane's current bucket value
+        cur_x, cur_y, cur_z = bx_ref[0], by_ref[0], bz_ref[0]
+        for b in range(1, B):
+            m = idx == b
+            cur_x = kcore.kselect(m, bx_ref[b], cur_x)
+            cur_y = kcore.kselect(m, by_ref[b], cur_y)
+            cur_z = kcore.kselect(m, bz_ref[b], cur_z)
 
-    new = kgroup.kadd_mixed(curve, acc_ref, (cur_x, cur_y, cur_z), (x_eff, y_eff))
+        new = kgroup.kadd_mixed(
+            curve, acc_ref, (cur_x, cur_y, cur_z), (x_eff, y_eff)
+        )
 
-    # B-way masked scatter back (zero digits write new == cur: harmless)
-    for b in range(B):
-        m = idx == b
-        bx_ref[b] = kcore.kselect(m, new[0], bx_ref[b])
-        by_ref[b] = kcore.kselect(m, new[1], by_ref[b])
-        bz_ref[b] = kcore.kselect(m, new[2], bz_ref[b])
+        # B-way masked scatter back (zero digits write new == cur: harmless)
+        for b in range(B):
+            m = idx == b
+            bx_ref[b] = kcore.kselect(m, new[0], bx_ref[b])
+            by_ref[b] = kcore.kselect(m, new[1], by_ref[b])
+            bz_ref[b] = kcore.kselect(m, new[2], bz_ref[b])
+
+    @pl.when(r >= steps)
+    def _tail():
+        # lane tree-reduce of the bucket state: log2(T) extra grid steps,
+        # one roll-halving round each, so callers get (.., lane 0) sums
+        # without a separate reduction kernel (each standalone executable
+        # costs ~10 s to load through the remote-device tunnel)
+        rd = r - steps
+        half = jnp.int32(T) >> (rd + 1)
+        s = jnp.int32(T) - half  # left-rotate as non-negative lane shift
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 1)
+        keep = t_iota < half
+
+        def body(b, _):
+            bs = pl.dslice(b, 1)
+            x = bx_ref[bs][0]
+            y = by_ref[bs][0]
+            z = bz_ref[bs][0]
+            rx = pltpu.roll(x, s, 2)
+            ry = pltpu.roll(y, s, 2)
+            rz = pltpu.roll(z, s, 2)
+            nx, ny, nz = kgroup.kadd(curve, acc_ref, (x, y, z), (rx, ry, rz))
+            bx_ref[bs] = kcore.kselect(keep, nx, x)[None]
+            by_ref[bs] = kcore.kselect(keep, ny, y)[None]
+            bz_ref[bs] = kcore.kselect(keep, nz, z)[None]
+            return 0
+
+        jax.lax.fori_loop(0, B, body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0,), static_argnames=("lanes", "c", "raw")
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("lanes", "c", "raw", "reduce_lanes"),
 )
 def bucket_accumulate(
     curve: CurveSpec,
@@ -116,14 +151,19 @@ def bucket_accumulate(
     lanes: int = 128,
     c: int = 4,
     raw: bool = False,
+    reduce_lanes: bool = False,
 ):
     """Scatter-accumulate points into per-(window, lane) signed buckets.
 
     points: affine (X, Y), each (L, N) Montgomery.
     digits: (W, N) int32 signed digits (windows.signed_window_digits).
     lanes:  T, point lanes processed per grid step (N padded to multiple).
-    Returns bucket sums (X, Y, Z), each (L, W, T, B), lane axis unreduced
-    (callers tree-reduce T with jnp group adds).
+
+    reduce_lanes=True runs log2(T) extra grid steps of in-kernel lane
+    tree-reduction and returns dense (L, W, B) bucket sums — ONE
+    executable for sweep + reduce.  Otherwise returns (X, Y, Z) each
+    (L, W, T, B) with the lane axis unreduced (raw=True keeps the
+    kernel-native (B, L, W, T) layout).
     """
     fq = curve.fq
     L = fq.n_limbs
@@ -145,22 +185,32 @@ def bucket_accumulate(
     x3 = jnp.moveaxis(X.reshape(L, steps, T), 1, 0)  # (steps, L, T)
     y3 = jnp.moveaxis(Y.reshape(L, steps, T), 1, 0)
 
+    tail = (T - 1).bit_length() if reduce_lanes else 0
+    last = steps - 1
+    in_idx = (lambda i: (jnp.minimum(i, last), 0, 0)) if tail else (
+        lambda i: (i, 0, 0)
+    )
     out_shape = jax.ShapeDtypeStruct((B, L, W, T), U32)
     grid_out_spec = pl.BlockSpec(
         (B, L, W, T), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     bx, by, bz = pl.pallas_call(
-        functools.partial(_kernel, curve, c),
-        grid=(steps,),
+        functools.partial(_kernel, curve, c, steps),
+        grid=(steps + tail,),
         in_specs=[
-            pl.BlockSpec((1, W, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, T), in_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, T), in_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, T), in_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=(grid_out_spec, grid_out_spec, grid_out_spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[pltpu.VMEM((2 * L + 2, W, T), U32)],
     )(d3, x3, y3)
+    if reduce_lanes:
+        # lane 0 holds each bucket's total: (B, L, W, T) -> (L, W, B)
+        return tuple(
+            jnp.transpose(a[:, :, :, 0], (1, 2, 0)) for a in (bx, by, bz)
+        )
     if raw:
         # kernel-native layout, fed straight into pl_reduce.lane_reduce
         # (skips the (B,L,W,T) -> (L,W,T,B) HBM transpose)

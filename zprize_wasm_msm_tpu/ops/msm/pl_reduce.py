@@ -107,8 +107,28 @@ def lane_reduce(curve: CurveSpec, buckets):
 # ---------------------------------------------------------------------------
 
 
-def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref, macc):
+def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref,
+                   ox_ref, oy_ref, oz_ref, sx, sy, sz, macc):
+    """One grid step = one round of the fused weighted-sum schedule.
+
+    The whole schedule (ladder -> segment tree -> head mask -> selective
+    doubling -> butterfly all-sum) runs through ONE generic body holding
+    exactly one complete add and one complete double — per-round behavior
+    is selected with masks derived from the round index, so the Mosaic
+    binary stays small (a distinct inlined body per phase measured 14 MB
+    / 155 s compile; executable size is what the remote-device tunnel
+    pays to load at every first call).
+    """
     B = 1 << (c - 1)
+    lb = (B - 1).bit_length()
+    cW1 = c * (W - 1)
+    O1 = c            # segment tree start
+    O2 = O1 + lb      # head-mask step
+    O3 = O2 + 1       # selective-double start
+    O4 = O3 + cW1     # lane-butterfly start
+    O5 = O4 + 7       # sublane-butterfly start (3 static rounds)
+    R = O5 + 3
+    r = pl.program_id(0)
     shape = bx_ref.shape[1:]  # (8, 128)
     l_iota = (
         jax.lax.broadcasted_iota(I32, shape, 0) * 128
@@ -116,65 +136,85 @@ def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref, 
     )  # flat lane id in [0, 1024)
     b_idx = l_iota % B
     w_idx = l_iota // B
+    k = b_idx + 1  # ladder scalar, c bits
 
-    S = (bx_ref[:], by_ref[:], bz_ref[:])
     zero = kgroup.kzero_point(curve, shape)
 
-    # phase 1a: acc = (b+1) * S via MSB-first double-and-add on k = b+1
-    # (c bits: b+1 <= 2^(c-1))
-    k = b_idx + 1
+    @pl.when(r == 0)
+    def _init():
+        sx[:], sy[:], sz[:] = zero
 
-    def ladder(i, acc):
-        acc = kgroup.kdouble(curve, macc, acc)
-        t = kgroup.kadd(curve, macc, acc, S)
-        bit = (k >> (c - 1 - i)) & 1
-        return tuple(
-            kgroup_select(bit == 1, tn, an) for tn, an in zip(t, acc)
+    p_lad = r < O1
+    p_seg = (r >= O1) & (r < O2)
+    p_mask = r == O2
+    p_sd = (r >= O3) & (r < O4)
+    p_bfl = (r >= O4) & (r < O5)
+    p_bfs = r >= O5
+
+    S = (bx_ref[:], by_ref[:], bz_ref[:])
+    A = (sx[:], sy[:], sz[:])
+
+    # lane roll shift for this round (0 = no-op)
+    e_seg = jnp.clip(r - O1 + 1, 1, 31)
+    half_seg = jnp.int32(B) >> e_seg
+    e_bfl = jnp.clip(r - O4, 0, 6)
+    shift = jnp.where(
+        p_seg,
+        jnp.int32(128) - half_seg,  # left-rotate by half_seg
+        jnp.where(p_bfl, jnp.int32(64) >> e_bfl, jnp.int32(0)),
+    )
+    rolled = tuple(pltpu.roll(a, shift, 2) for a in A)
+    # sublane butterfly: static shifts 4 / 2 / 1 picked by round
+    rsub = tuple(
+        kgroup_select(
+            jnp.full(shape, r == O5),
+            pltpu.roll(a, 4, 1),
+            kgroup_select(
+                jnp.full(shape, r == O5 + 1),
+                pltpu.roll(a, 2, 1),
+                pltpu.roll(a, 1, 1),
+            ),
         )
+        for a in A
+    )
 
-    A = jax.lax.fori_loop(0, c, ladder, zero)
+    # double where needed: every lane in the ladder; lane w for the first
+    # c*w selective-doubling rounds
+    dd = p_lad | (p_sd & ((r - O3) < c * w_idx))
+    D = kgroup.kdouble(curve, macc, A)
+    A1 = tuple(kgroup_select(dd, dn, an) for dn, an in zip(D, A))
 
-    # phase 1b: masked roll tree within each B-lane bucket segment
-    def seg_tree(r, A):
-        half = jnp.int32(B) >> (r + 1)
-        s = jnp.int32(128) - half  # non-negative left-rotate on lanes
-        rolled = tuple(pltpu.roll(a, s, 2) for a in A)
-        n = kgroup.kadd(curve, macc, A, rolled)
-        keep = b_idx < half
-        return tuple(kgroup_select(keep, nn, an) for nn, an in zip(n, A))
+    # the one add: operand depends on the phase
+    o2 = tuple(
+        kgroup_select(
+            jnp.full(shape, p_lad),
+            sn,
+            kgroup_select(jnp.full(shape, p_bfs), rs, rl),
+        )
+        for sn, rs, rl in zip(S, rsub, rolled)
+    )
+    T1 = kgroup.kadd(curve, macc, A1, o2)
 
-    if B > 1:
-        A = jax.lax.fori_loop(0, (B - 1).bit_length(), seg_tree, A)
+    bit = (k >> jnp.clip(c - 1 - r, 0, 31)) & 1
+    am = (
+        (p_lad & (bit == 1))
+        | (p_seg & (b_idx < half_seg))
+        | p_bfl
+        | p_bfs
+    )
+    A2 = tuple(kgroup_select(am, tn, an) for tn, an in zip(T1, A1))
 
-    # keep only each window's total (segment head); identity elsewhere
+    # head-mask round: keep each window total (segment head), identity
+    # elsewhere (absorbed by later complete adds)
     valid = (b_idx == 0) & (w_idx < W)
-    A = tuple(kgroup_select(valid, an, zn) for an, zn in zip(A, zero))
+    keep = p_mask & ~valid
+    A3 = tuple(kgroup_select(keep, zn, an) for zn, an in zip(zero, A2))
 
-    # phase 2: lane w doubles c*w times -> [2^(c*w)] A_w
-    def sel_double(i, A):
-        d = kgroup.kdouble(curve, macc, A)
-        use = i < c * w_idx
-        return tuple(kgroup_select(use, dn, an) for dn, an in zip(d, A))
+    sx[:], sy[:], sz[:] = A3
 
-    if W > 1:
-        A = jax.lax.fori_loop(0, c * (W - 1), sel_double, A)
-
-    # phase 3: circular butterfly all-sum (identity in non-head lanes is
-    # absorbed by the complete add); 7 lane rounds + 3 sublane rounds
-    def bf_lane(r, A):
-        half = jnp.int32(64) >> r
-        rolled = tuple(pltpu.roll(a, half, 2) for a in A)
-        return kgroup.kadd(curve, macc, A, rolled)
-
-    A = jax.lax.fori_loop(0, 7, bf_lane, A)
-
-    # sublane rounds use STATIC shifts (Mosaic's dynamic rotate is a
-    # lane-axis op; sublane rotates lower as static shuffles)
-    for half in (4, 2, 1):
-        rolled = tuple(pltpu.roll(a, half, 1) for a in A)
-        A = kgroup.kadd(curve, macc, A, rolled)
-
-    ox_ref[:], oy_ref[:], oz_ref[:] = A
+    @pl.when(r == R - 1)
+    def _emit():
+        ox_ref[:], oy_ref[:], oz_ref[:] = sx[:], sy[:], sz[:]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -194,14 +234,21 @@ def finish(curve: CurveSpec, buckets, c: int):
         return flat.reshape(L, 8, 128)
 
     gx, gy, gz = to_grid(bx), to_grid(by), to_grid(bz)
+    lb = (B - 1).bit_length()
+    R = c + lb + 1 + c * (W - 1) + 7 + 3
     out_shape = jax.ShapeDtypeStruct((L, 8, 128), U32)
     spec = pl.BlockSpec((L, 8, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     ox, oy, oz = pl.pallas_call(
         functools.partial(_finish_kernel, curve, c, W),
-        grid=(1,),
+        grid=(R,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(out_shape, out_shape, out_shape),
-        scratch_shapes=[pltpu.VMEM((acc_rows, 8, 128), U32)],
+        scratch_shapes=[
+            pltpu.VMEM((L, 8, 128), U32),
+            pltpu.VMEM((L, 8, 128), U32),
+            pltpu.VMEM((L, 8, 128), U32),
+            pltpu.VMEM((acc_rows, 8, 128), U32),
+        ],
     )(gx, gy, gz)
     return (ox[:, 0, 0], oy[:, 0, 0], oz[:, 0, 0])
