@@ -122,13 +122,24 @@ def main():
 
     a1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
     b1 = jnp.asarray(rng.integers(0, 1 << 16, size=(N,), dtype=np.uint32))
-    u32_gops = 0.0
-    for streams in (1, 4, 8):
-        t_short, _ = _bench(chain(25, streams), a1, b1)
-        t_long, _ = _bench(chain(200, streams), a1, b1)
-        gops = 175 * 3 * streams * N / (t_long - t_short) / 1e9
-        u32_gops = max(u32_gops, gops)
-        print(f"# u32 chain streams={streams}: {gops:.0f} Gops", file=sys.stderr)
+    t_short, _ = _bench(chain(25, 1), a1, b1)
+    t_long, _ = _bench(chain(200, 1), a1, b1)
+    chain_gops = 175 * 3 * N / (t_long - t_short) / 1e9
+    print(f"# u32 dependent-chain: {chain_gops:.0f} Gops", file=sys.stderr)
+
+    # The SOL basis is the ANALYTIC VPU integer peak, not the chain
+    # measurement: a dependent mul+add+mask chain is issue-limited to
+    # ~1.2 Tops on the v5e, while the bucket-sweep kernel MEASURES
+    # ~3.5 Tops of real u32 work (47 M adds/s x 73.6k ops) — the chain
+    # under-reports the usable ceiling ~3x.  v5e VPU: (8, 128) lanes x
+    # 4 ALUs @ 0.94 GHz = 3.85 Tops/s; unknown devices fall back to the
+    # measured kernel rate as a lower bound.
+    ALU_PEAK_GOPS = {
+        "TPU v5 lite": 1024 * 4 * 0.94,  # 3852
+        "TPU v4": 1024 * 4 * 1.05,
+    }
+    dev_kind = jax.devices()[0].device_kind
+    u32_gops = ALU_PEAK_GOPS.get(dev_kind, max(chain_gops, 1.0))
 
     sol_fmul_mps = u32_gops * 1e9 / field_mul_u32_ops(L) / 1e6
     sol_fsq_mps = u32_gops * 1e9 / field_square_u32_ops(L) / 1e6
@@ -201,6 +212,7 @@ def main():
     out = {
         "device": jax.devices()[0].device_kind,
         "u32_vpu_gops_ceiling": round(u32_gops, 1),
+        "u32_chain_gops_measured": round(chain_gops, 1),
         "field_mul_u32_ops": field_mul_u32_ops(L),
         "bucket_add_u32_ops": bucket_add_u32_ops(L, B),
         "field_mul_sol_Mps": round(sol_fmul_mps, 1),
