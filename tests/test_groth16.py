@@ -16,7 +16,17 @@ from zprize_wasm_msm_tpu.models.curves import bls12_381, bls12_381_g2
 from zprize_wasm_msm_tpu.models.groth16 import Proof, VerifyingKey, verify
 from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
 
-pytestmark = pytest.mark.slow  # full-width pairings
+pytestmark = [
+    pytest.mark.slow,  # full-width pairings
+    # the XLA:CPU compile of the composed full-width pairing + MSM graph
+    # was observed to consume >122 GB and OOM the 125 GB test box; the
+    # same check runs against the TPU backend (server-side compile) via
+    # tools/check_groth16.py, which reuses make_instance below.
+    pytest.mark.skip(
+        reason="XLA:CPU compile OOMs (>122 GB); run tools/check_groth16.py "
+        "on the TPU backend instead"
+    ),
+]
 
 
 def make_instance(rng, n_publics=2):
