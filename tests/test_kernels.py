@@ -476,3 +476,38 @@ def test_pl_reduce_lane_and_finish(rng):
     ra = group.to_affine(toy, tuple(x[:, None] for x in ref_pt))
     for g, r in zip(ga, ra):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_pl_bucket_g2_matches_xla_path(rng):
+    """The (field-generic) VMEM-bucket sweep over Fq2: msm(impl='pallas')
+    on toy G2 ≡ the jnp engine and the host oracle (the reference's
+    optimized engine is G1-hardcoded, build_multiexp_opt.js:27-30 — here
+    even the small-c kernel engine runs G2)."""
+    from zprize_wasm_msm_tpu.models.curves import toy_g2
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
+
+    F = toy_g2.field
+    oc = OracleCurve(
+        q=toy_g2.q, a=toy_g2.a, b=toy_g2.b, r=toy_g2.r,
+        gx=toy_g2.gx, gy=toy_g2.gy, field=F2(toy_g2.q, toy_g2.nr),
+    )
+    n = 24
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy_g2.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy_g2.r)) for _ in range(n)]
+    ks[0] = 0
+    X = jnp.stack([F.const(p[0]) for p in pts], axis=1)
+    Y = jnp.stack([F.const(p[1]) for p in pts], axis=1)
+    sc = ints_to_limbs(ks, toy_g2.fr.n_limbs)
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy_g2, (X, Y), sc, c=4, max_bits=32, lanes=8, impl="pallas"
+        )
+    ref = pippenger.msm(
+        toy_g2, (X, Y), sc, c=4, max_bits=32, lanes=8, impl="xla"
+    )
+    ga = group.to_affine(toy_g2, tuple(v[:, None] for v in got))
+    ra = group.to_affine(toy_g2, tuple(v[:, None] for v in ref))
+    for g, r in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    want = oc.msm(pts, ks)
+    assert (F.to_host(ga[0])[0], F.to_host(ga[1])[0]) == want

@@ -57,23 +57,37 @@ def main():
     sc = jnp.asarray(ints_to_limbs(ks, fr.n_limbs))
 
     results = {}
+    errors = {}
     t0 = time.time()
-    for impl in ("pallas", "pallas-sorted", "xla"):
+
+    def guarded(name, fn):
         t = time.time()
-        res = ctx.msm((X, Y), sc, impl=impl)
-        results[impl] = ctx.result_to_affine(tuple(jnp.asarray(r) for r in res))
-        print(f"# {impl}: {time.time()-t:.1f}s", file=sys.stderr, flush=True)
-    t = time.time()
-    res = msm_naive(curve, (X, Y), sc)
-    results["naive"] = ctx.result_to_affine(tuple(jnp.asarray(r) for r in res))
-    print(f"# naive: {time.time()-t:.1f}s", file=sys.stderr, flush=True)
+        try:
+            res = fn()
+            results[name] = ctx.result_to_affine(
+                tuple(jnp.asarray(r) for r in res)
+            )
+        except Exception as exc:  # record, keep comparing the others
+            errors[name] = str(exc)[:200]
+        print(f"# {name}: {time.time()-t:.1f}s", file=sys.stderr, flush=True)
+
+    guarded("pallas", lambda: ctx.msm((X, Y), sc, impl="pallas"))
+    guarded("pallas-sorted", lambda: ctx.msm((X, Y), sc, impl="pallas-sorted"))
+    # the jnp private-bucket engine needs a small lane budget on the
+    # 16 GB chip (its per-lane bucket state OOMs at the default 2 GB)
+    guarded(
+        "xla",
+        lambda: ctx.msm((X, Y), sc, impl="xla", mem_budget_bytes=64 << 20),
+    )
+    guarded("naive", lambda: msm_naive(curve, (X, Y), sc))
 
     total = sum(k * mults[i % base] for i, k in enumerate(ks)) % curve.r
     expected = oc.mul(oc.g, total)
-    agree = all(v == expected for v in results.values())
+    agree = len(results) >= 2 and all(v == expected for v in results.values())
     out = {
         "n": n,
         "engines": sorted(results),
+        "engine_errors": errors,
         "all_equal_and_expected": bool(agree),
         "wall_s": round(time.time() - t0, 1),
     }

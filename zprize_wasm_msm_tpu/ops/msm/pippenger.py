@@ -306,11 +306,12 @@ def window_fold(curve: CurveSpec, window_sums, c: int):
 
 def _default_impl(ext: int = 1) -> str:
     """Engine choice: measured on the v5e (tools/profile_sorted.py), the
-    c=6 VMEM-bucket kernel wins for G1 (the sorted engine's per-window
-    XLA gather costs ~75 ns/point — 2.5x the sweep kernel's add — so
+    small-c VMEM-bucket kernel wins (the sorted engine's per-window XLA
+    gather costs ~75 ns/point — 2.5x the sweep kernel's add — so
     sort-based large windows lose to more small windows at equal add
-    rate); the sorted engine is the G2 path (pl_bucket is base-field
-    only) and the explicit large-c path."""
+    rate).  The bucket kernel is field-generic (Fq/Fq2), so it is the
+    default for G1 AND G2; the sorted engine remains the explicit
+    large-c path and the ext>2 fallback is jnp."""
     import os
 
     if os.environ.get("ZPTPU_MSM_IMPL") in ("pallas", "pallas-sorted", "xla"):
@@ -321,7 +322,7 @@ def _default_impl(ext: int = 1) -> str:
         on_tpu = False
     if not on_tpu:
         return "xla"
-    return "pallas" if ext == 1 else "pallas-sorted"
+    return "pallas" if ext in (1, 2) else "pallas-sorted"
 
 
 def resolve_config(
@@ -334,17 +335,18 @@ def resolve_config(
         # the Pallas kernels cover Fq/Fq2 a=0 curves (the bench surface);
         # cubic-extension / general-a curves (MNT6753) take the jnp path
         impl = "xla"
-    if impl == "pallas" and curve.ext != 1:
-        impl = "pallas-sorted"  # pl_bucket is base-field only
-    if impl == "pallas" and c is not None and c > 6:
+    # pl_bucket's VMEM cap: c <= 6 over Fq, c <= 5 over Fq2 (bucket
+    # state is 3 * 2^(c-1) * elem_len * 8 * 128 * 4 bytes vs ~14 MB)
+    c_cap = 6 if curve.ext == 1 else 5
+    if impl == "pallas" and c is not None and c > c_cap:
         # explicit large window: route to the engine that supports it
-        # rather than tripping pl_bucket's c <= 6 assertion
+        # rather than tripping pl_bucket's VMEM assertion
         impl = "pallas-sorted"
     if c is None:
         if impl == "pallas-sorted":
             c = windows.sorted_engine_window_size(N, max_bits)
         elif impl == "pallas":
-            c = 6
+            c = c_cap
         else:
             c = windows.default_window_size(N, max_bits, mem_budget_bytes)
     if impl == "xla" and lanes is None:
@@ -368,8 +370,9 @@ def _bucket_sums_pallas(curve, points, digits, c, lanes):
 
     X, Y = points
     W, N = digits.shape
-    assert c <= 6, f"pallas bucket path requires c <= 6, got {c}"
-    assert curve.ext == 1, "pallas bucket kernel is base-field only"
+    c_cap = 6 if curve.ext == 1 else 5
+    assert c <= c_cap, f"pallas bucket path requires c <= {c_cap}, got {c}"
+    assert curve.ext in (1, 2), "pallas bucket kernel covers Fq/Fq2"
     Wp = min(8, W)
     T = lanes if lanes is not None else 128
     while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:

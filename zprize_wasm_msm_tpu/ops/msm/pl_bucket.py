@@ -49,18 +49,21 @@ I32 = jnp.int32
 
 def vmem_bytes(curve: CurveSpec, W: int, T: int, c: int) -> int:
     """Estimated VMEM footprint of the bucket state + mul scratch."""
-    L = curve.fq.n_limbs
+    L = curve.field.elem_len
     B = 1 << (c - 1)
     Wpad = -(-W // 8) * 8
     state = 3 * B * L * Wpad * T * 4
-    scratch = (2 * L + 2) * Wpad * T * 4
+    scratch = curve.kfield.acc_rows * Wpad * T * 4
     return state + scratch
 
 
 def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
             bx_ref, by_ref, bz_ref, acc_ref):
-    fq = curve.fq
-    L = fq.n_limbs
+    # generic over the coordinate field (kfield: Fq for G1, Fq2 for G2 —
+    # the reference's optimized engine is G1-hardcoded,
+    # build_multiexp_opt.js:27-30; fixed here in the kernel itself)
+    kf = curve.kfield
+    L = kf.elem_len
     B = 1 << (c - 1)
     W, T = dig_ref.shape[1], dig_ref.shape[2]
     r = pl.program_id(0)
@@ -68,7 +71,7 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
     @pl.when(r == 0)
     def _init():
         zeros = jnp.zeros_like(bx_ref)
-        ones = kcore.kconst(fq, fq.one_mont_limbs, (W, T))  # (L, W, T)
+        ones = kf.one((W, T))  # (L, W, T)
         bx_ref[:] = zeros
         by_ref[:] = jnp.broadcast_to(ones[None], by_ref.shape)
         bz_ref[:] = zeros
@@ -86,7 +89,7 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
         idx = jnp.where(neg, -d, d) - 1
         idx = jnp.where(is_zero, 0, idx)  # (W, T) in [0, B)
 
-        y_eff = kcore.kselect(neg, kcore.kneg(fq, pyw), pyw)
+        y_eff = kcore.kselect(neg, kf.neg(pyw), pyw)
         x_eff = kcore.kselect(is_zero, jnp.zeros_like(pxw), pxw)
         y_eff = kcore.kselect(is_zero, jnp.zeros_like(pyw), y_eff)
 
@@ -164,9 +167,11 @@ def bucket_accumulate(
     executable for sweep + reduce.  Otherwise returns (X, Y, Z) each
     (L, W, T, B) with the lane axis unreduced (raw=True keeps the
     kernel-native (B, L, W, T) layout).
+
+    Field-generic: L is the coordinate-field element length, so G2
+    points over Fq2 stream through with L = 2 x base limbs.
     """
-    fq = curve.fq
-    L = fq.n_limbs
+    L = curve.field.elem_len
     B = 1 << (c - 1)
     T = lanes
     X, Y = points
@@ -204,7 +209,7 @@ def bucket_accumulate(
         ],
         out_specs=(grid_out_spec, grid_out_spec, grid_out_spec),
         out_shape=(out_shape, out_shape, out_shape),
-        scratch_shapes=[pltpu.VMEM((2 * L + 2, W, T), U32)],
+        scratch_shapes=[pltpu.VMEM((curve.kfield.acc_rows, W, T), U32)],
     )(d3, x3, y3)
     if reduce_lanes:
         # lane 0 holds each bucket's total: (B, L, W, T) -> (L, W, B)
