@@ -248,46 +248,70 @@ def _frob_k(tw: Tower, a, k: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def _j_fe_easy(ps: PairingSpec, f):
+    """Easy part: f^((q^6-1)(q^2+1))."""
+    tw = ps.tower
+    t2 = tw.f12_mul(tw.f12_conjugate(f), tw.f12_inverse(f))
+    return tw.f12_mul(_frob_k(tw, t2, 2), t2)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_cyc_exp(ps: PairingSpec, a):
+    """a^|x| (conjugated for x < 0) — ONE compiled instance reused for
+    all four hard-part exponentiations."""
+    return _cyclotomic_exp(ps.tower, a, abs(ps.x), ps.x < 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _j_frob_mul(ps: PairingSpec, a, k: int, b):
+    """frobenius^k(a) * b (k=0: plain product)."""
+    tw = ps.tower
+    return tw.f12_mul(_frob_k(tw, a, k) if k else a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _j_csq(ps: PairingSpec, a, conj: bool):
+    tw = ps.tower
+    s = tw.f12_cyclotomic_square(a)
+    return tw.f12_conjugate(s) if conj else s
+
+
 def final_exponentiation(ps: PairingSpec, f):
     """f^((q^12 - 1) / r) (ref finalExponentiation:1181-1290).
 
     Easy part: f^(q^6-1) = conj(f) * f^-1, then ^(q^2+1) via frobenius^2.
     Hard part: the reference's zkcrypto-style addition chain — four
-    cyclotomic exponentiations by the BLS parameter w0 = |x| plus frobenius
-    powers — ~260 cyclotomic squarings instead of ~1505 generic
-    square-and-multiply steps (build_bls12381.js:1183-1290, w0 at :267).
+    cyclotomic exponentiations by the BLS parameter w0 = |x| plus
+    frobenius powers — ~260 cyclotomic squarings instead of ~1505
+    generic square-and-multiply steps (build_bls12381.js:1183-1290, w0
+    at :267).  Composed from SMALL stage jits (easy part, one shared
+    cyclotomic-exp executable, frobenius-multiply) — the fused module
+    exceeds this environment's TPU compile-helper memory cap.
     """
     tw = ps.tower
-    # easy part
-    t2 = tw.f12_mul(tw.f12_conjugate(f), tw.f12_inverse(f))
-    t2 = tw.f12_mul(_frob_k(tw, t2, 2), t2)
-
-    w0 = abs(ps.x)
-    neg = ps.x < 0
-    cyc_exp = lambda a: _cyclotomic_exp(tw, a, w0, neg)
+    t2 = _j_fe_easy(ps, f)
 
     # hard part (formula sequence of build_bls12381.js:1229-1289)
-    t1 = tw.f12_conjugate(tw.f12_cyclotomic_square(t2))
-    t3 = cyc_exp(t2)
-    t4 = tw.f12_cyclotomic_square(t3)
-    t5 = tw.f12_mul(t1, t3)
-    t1 = cyc_exp(t5)
-    t0 = cyc_exp(t1)
-    t6 = cyc_exp(t0)
-    t6 = tw.f12_mul(t6, t4)
-    t4 = cyc_exp(t6)
-    t5 = tw.f12_conjugate(t5)
-    t4 = tw.f12_mul(tw.f12_mul(t4, t5), t2)
+    t1 = _j_csq(ps, t2, True)
+    t3 = _j_cyc_exp(ps, t2)
+    t4 = _j_csq(ps, t3, False)
+    t5 = _j_frob_mul(ps, t1, 0, t3)
+    t1 = _j_cyc_exp(ps, t5)
+    t0 = _j_cyc_exp(ps, t1)
+    t6 = _j_cyc_exp(ps, t0)
+    t6 = _j_frob_mul(ps, t6, 0, t4)
+    t4 = _j_cyc_exp(ps, t6)
+    t5 = tw.f12_conjugate(t5)  # sign flips: cheap eager
+    t4 = _j_frob_mul(ps, _j_frob_mul(ps, t4, 0, t5), 0, t2)
     t5 = tw.f12_conjugate(t2)
-    t1 = tw.f12_mul(t1, t2)
-    t1 = _frob_k(tw, t1, 3)
-    t6 = tw.f12_mul(t6, t5)
-    t6 = _frob_k(tw, t6, 1)
-    t3 = tw.f12_mul(t3, t0)
-    t3 = _frob_k(tw, t3, 2)
-    t3 = tw.f12_mul(t3, t1)
-    t3 = tw.f12_mul(t3, t6)
-    return tw.f12_mul(t3, t4)
+    t1 = _j_frob_mul(ps, t1, 0, t2)
+    t6 = _j_frob_mul(ps, t6, 0, t5)
+    t3 = _j_frob_mul(ps, t3, 0, t0)
+    t1 = _j_frob_mul(ps, t1, 3, tw.f12_one(t1.shape[1:]))
+    t6 = _j_frob_mul(ps, t6, 1, tw.f12_one(t6.shape[1:]))
+    t3 = _j_frob_mul(ps, t3, 2, t1)
+    t3 = _j_frob_mul(ps, t3, 0, t6)
+    return _j_frob_mul(ps, t3, 0, t4)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -311,30 +335,41 @@ def final_exponentiation_plain(ps: PairingSpec, f):
     return jax.lax.fori_loop(1, len(bits), body, t)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def pairing(ps: PairingSpec, P, Q):
-    """e(P, Q) batched (ref pairing:1597)."""
+    """e(P, Q) batched (ref pairing:1597).
+
+    NOT one fused jit: miller_loop and final_exponentiation compile as
+    separate executables — the composed module exceeds this
+    environment's TPU compile-helper memory cap (SIGKILL) and was
+    measured at hours / >100 GB on XLA:CPU; the stage jits compile in
+    minutes each."""
     return final_exponentiation(ps, miller_loop(ps, P, Q))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def pairing_eq(ps: PairingSpec, Ps, Qs):
-    """prod_i e(P_i, Q_i) == 1 (the ref's pairingEq1-5:1592-1596).
-
-    Ps/Qs are batches; miller loops run batched, the product is folded
-    sequentially, and ONE final exponentiation finishes.
-    Returns a scalar bool.
-    """
+def _f12_product_tree(ps: PairingSpec, f):
+    """Log-depth product over the pair axis: (12L, N) -> (12L, 1)."""
     tw = ps.tower
-    f = miller_loop(ps, Ps, Qs)  # (12L, N)
-    # log-depth product tree over the pair axis (one vectorized f12_mul per
-    # level, no per-N recompilation beyond the shape itself)
     n = f.shape[1]
     while n > 1:
         half = n // 2
         prod = tw.f12_mul(f[:, :half], f[:, half : 2 * half])
         f = jnp.concatenate([prod, f[:, -1:]], axis=1) if n % 2 else prod
         n = half + (n % 2)
+    return f
+
+
+def pairing_eq(ps: PairingSpec, Ps, Qs):
+    """prod_i e(P_i, Q_i) == 1 (the ref's pairingEq1-5:1592-1596).
+
+    Ps/Qs are batches; miller loops run batched, the product is folded
+    log-depth, and ONE final exponentiation finishes.  Runs as THREE
+    stage executables (see pairing) rather than one fused jit.
+    Returns a scalar bool.
+    """
+    tw = ps.tower
+    f = miller_loop(ps, Ps, Qs)  # (12L, N)
+    f = _f12_product_tree(ps, f)
     e = final_exponentiation(ps, f)
     one = tw.f12_one((1,))
     return jnp.all(e == one)

@@ -267,23 +267,28 @@ def final_exponentiation(ps: BNPairingSpec, f):
     return mul(U, R_)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def pairing(ps: BNPairingSpec, P, Q):
-    """e(P, Q) batched (ref bn128 pairing:1368)."""
+    """e(P, Q) batched (ref bn128 pairing:1368).  Stage jits, not one
+    fused program — see bls12.pairing for the compile-size rationale."""
     return final_exponentiation(ps, miller_loop(ps, P, Q))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def pairing_eq(ps: BNPairingSpec, Ps, Qs):
-    """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-5 for bn128)."""
+def _f12_product_tree(ps: BNPairingSpec, f):
     tw = ps.tower
-    f = miller_loop(ps, Ps, Qs)
     n = f.shape[1]
     while n > 1:
         half = n // 2
         prod = tw.f12_mul(f[:, :half], f[:, half : 2 * half])
         f = jnp.concatenate([prod, f[:, -1:]], axis=1) if n % 2 else prod
         n = half + (n % 2)
+    return f
+
+
+def pairing_eq(ps: BNPairingSpec, Ps, Qs):
+    """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-5 for bn128)."""
+    tw = ps.tower
+    f = _f12_product_tree(ps, miller_loop(ps, Ps, Qs))
     e = final_exponentiation(ps, f)
     one = tw.f12_one((1,))
     return jnp.all(e == one)

@@ -372,22 +372,26 @@ def final_exponentiation(ps: MNT6PairingSpec, f):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def pairing(ps: MNT6PairingSpec, P, Q):
-    """e(P, Q) batched (ref buildPairing:1345)."""
+    """e(P, Q) batched (ref buildPairing:1345).  Stage jits, not one
+    fused program — see bls12.pairing for the compile-size rationale."""
     return final_exponentiation(ps, miller_loop(ps, P, Q))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def pairing_eq(ps: MNT6PairingSpec, Ps, Qs):
-    """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-3:1312)."""
-    f = miller_loop(ps, Ps, Qs)
+def _f6_product_tree(ps: MNT6PairingSpec, f):
     n = f.shape[1]
     while n > 1:
         half = n // 2
         prod = f6_mul(ps, f[:, :half], f[:, half : 2 * half])
         f = jnp.concatenate([prod, f[:, -1:]], axis=1) if n % 2 else prod
         n = half + (n % 2)
+    return f
+
+
+def pairing_eq(ps: MNT6PairingSpec, Ps, Qs):
+    """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-3:1312)."""
+    f = _f6_product_tree(ps, miller_loop(ps, Ps, Qs))
     e = final_exponentiation(ps, f)
     return jnp.all(e == f6_one(ps, (1,)))
 
