@@ -226,30 +226,41 @@ def miller_loop(ps: BNPairingSpec, P, Q):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def final_exponentiation(ps: BNPairingSpec, f):
-    """f^((q^12 - 1) / r) (ref finalExponentiation:1290).
-
-    Easy part (FirstChunk:994): f^(q^6-1) then ^(q^2+1).
-    Hard part (LastChunk:1200-1286): the devegili/zkcrypto BN chain with
-    three cyclotomic exponentiations by -z (z > 0, so exp-then-conjugate:
-    `finalExpIsNegative ? [] : conjugate` at :1235).
-    """
+def _j_fe_easy(ps: BNPairingSpec, f):
+    """Easy part (FirstChunk:994): f^(q^6-1) then ^(q^2+1)."""
     tw = ps.tower
     elt = tw.f12_mul(tw.f12_conjugate(f), tw.f12_inverse(f))
-    elt = tw.f12_mul(_frob_k(tw, elt, 2), elt)
+    return tw.f12_mul(_frob_k(tw, elt, 2), elt)
 
-    exp_nz = lambda a: _cyclotomic_exp(tw, a, ps.z, True)  # a^(-z)
-    sq = tw.f12_cyclotomic_square
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_exp_nz(ps: BNPairingSpec, a):
+    """a^(-z) — ONE compiled cyclotomic-exp executable reused for all
+    three hard-part exponentiations (z > 0, so exp-then-conjugate:
+    `finalExpIsNegative ? [] : conjugate` at build_bn128.js:1235)."""
+    return _cyclotomic_exp(ps.tower, a, ps.z, True)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_bd(ps: BNPairingSpec, A):
+    """B = A^2, D = B^2 * B (cyclotomic squares)."""
+    tw = ps.tower
+    B = tw.f12_cyclotomic_square(A)
+    return B, tw.f12_mul(tw.f12_cyclotomic_square(B), B)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_csq(ps: BNPairingSpec, a):
+    return ps.tower.f12_cyclotomic_square(a)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_tail(ps: BNPairingSpec, elt, B, D, E, G):
+    """The mul/conjugate/frobenius tail of the hard-part chain
+    (LastChunk:1236-1286) — cheap algebra, one small executable."""
+    tw = ps.tower
     mul = tw.f12_mul
     conj = tw.f12_conjugate
-
-    A = exp_nz(elt)
-    B = sq(A)
-    C = sq(B)
-    D = mul(C, B)
-    E = exp_nz(D)
-    F_ = sq(E)
-    G = exp_nz(F_)
     H = conj(D)
     I = conj(G)
     J = mul(I, E)
@@ -265,6 +276,26 @@ def final_exponentiation(ps: BNPairingSpec, f):
     T_ = mul(S, L_)
     U = _frob_k(tw, T_, 3)
     return mul(U, R_)
+
+
+def final_exponentiation(ps: BNPairingSpec, f):
+    """f^((q^12 - 1) / r) (ref finalExponentiation:1290).
+
+    Easy part (FirstChunk:994): f^(q^6-1) then ^(q^2+1).
+    Hard part (LastChunk:1200-1286): the devegili/zkcrypto BN chain with
+    three cyclotomic exponentiations by -z.  Composed from SMALL stage
+    jits (easy part, ONE shared cyclotomic-exp executable, the
+    square/tail glue) — the fused module exceeds this environment's TPU
+    compile-helper memory cap; see bls12.final_exponentiation for the
+    same decomposition on the BLS chain.
+    """
+    elt = _j_fe_easy(ps, f)
+    A = _j_exp_nz(ps, elt)
+    B, D = _j_bd(ps, A)
+    E = _j_exp_nz(ps, D)
+    F_ = _j_csq(ps, E)
+    G = _j_exp_nz(ps, F_)
+    return _j_tail(ps, elt, B, D, E, G)
 
 
 def pairing(ps: BNPairingSpec, P, Q):

@@ -358,18 +358,36 @@ def miller_loop(ps: MNT6PairingSpec, P, Q):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def _j_fe_easy(ps: MNT6PairingSpec, f):
+    """Easy part (FirstChunk:1248): t = frob3(f) * f^-1;
+    beta = frob1(t) * t."""
+    finv = f6_inverse(ps, f)
+    t = f6_mul(ps, f6_frobenius(ps, f, 3), finv)
+    return f6_mul(ps, f6_frobenius(ps, t, 1), t)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_cyc_exp_w0(ps: MNT6PairingSpec, beta):
+    """beta^w0 — the NAF cyclotomic exponentiation (LastChunk:1224)."""
+    return f6_cyclotomic_exp(ps, beta, ps.loop_count)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_frob1_mul(ps: MNT6PairingSpec, beta, e):
+    return f6_mul(ps, f6_frobenius(ps, beta, 1), e)
+
+
 def final_exponentiation(ps: MNT6PairingSpec, f):
     """f^((q^6-1)/r) (ref finalExponentiation:1272).
 
     Easy part (FirstChunk:1248): t = frob3(f) * f^-1; beta = frob1(t) * t.
     Hard part (LastChunk:1224): frob1(beta) * beta^w0.
-    """
-    finv = f6_inverse(ps, f)
-    t = f6_mul(ps, f6_frobenius(ps, f, 3), finv)
-    beta = f6_mul(ps, f6_frobenius(ps, t, 1), t)
-    return f6_mul(
-        ps, f6_frobenius(ps, beta, 1), f6_cyclotomic_exp(ps, beta, ps.loop_count)
-    )
+    Composed from THREE stage jits (easy part / cyclotomic exp / final
+    frobenius-multiply) — the fused 753-bit module exceeds this
+    environment's TPU compile-helper memory cap; see
+    bls12.final_exponentiation for the same decomposition."""
+    beta = _j_fe_easy(ps, f)
+    return _j_frob1_mul(ps, beta, _j_cyc_exp_w0(ps, beta))
 
 
 def pairing(ps: MNT6PairingSpec, P, Q):
