@@ -54,6 +54,16 @@ jax.config.update("jax_platforms", "cpu")
 # this call also initializes the backends.
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# persistent compile cache (same store the TPU bench uses; entries are
+# keyed per backend so CPU and TPU coexist).  The pairing-stage compiles
+# the slow tier pays (minutes each at full width, tens of seconds at toy
+# width) are then paid once per source revision, not once per run.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from zprize_wasm_msm_tpu.utils import compile_guard
 
 # run every XLA compile on a dedicated 1 GiB-stack thread; see module doc

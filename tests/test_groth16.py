@@ -6,39 +6,35 @@ pairing identity holds by construction iff the verifier computes
 correctly: with A = a*G1, B = b*G2, vk_x = k*G1 (via the IC MSM) and
 C = (ab - alpha*beta - k*gamma) * delta^{-1} * G1 the product is exactly
 1.  A corrupted proof must fail.
+
+Two tiers:
+  * smoke: the toy-BN family (15-bit, seconds of compile) — the full
+    verifier composition (MSM + 4-pair product + pairing stack) in CI;
+  * full width: BLS12-381 — the XLA:CPU compile of that graph OOMs the
+    125 GB test box, so it is skipped here and witnessed on the TPU
+    backend by tools/check_groth16.py (which imports make_instance).
 """
 
 import numpy as np
 import pytest
 
 from zprize_wasm_msm_tpu.models.context import build_curve
-from zprize_wasm_msm_tpu.models.curves import bls12_381, bls12_381_g2
+from zprize_wasm_msm_tpu.models.curves import (
+    bls12_381,
+    bls12_381_g2,
+    toy_bn,
+    toy_bn_g2,
+)
 from zprize_wasm_msm_tpu.models.groth16 import Proof, VerifyingKey, verify
 from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve, F2
 
-pytestmark = [
-    pytest.mark.slow,  # full-width pairings
-    # the XLA:CPU compile of the composed full-width pairing + MSM graph
-    # was observed to consume >122 GB and OOM the 125 GB test box; the
-    # same check runs against the TPU backend (server-side compile) via
-    # tools/check_groth16.py, which reuses make_instance below.
-    pytest.mark.skip(
-        reason="XLA:CPU compile OOMs (>122 GB); run tools/check_groth16.py "
-        "on the TPU backend instead"
-    ),
-]
 
-
-def make_instance(rng, n_publics=2):
-    r = bls12_381.r
-    oc1 = OracleCurve(
-        q=bls12_381.q, a=0, b=bls12_381.b, r=r,
-        gx=bls12_381.gx, gy=bls12_381.gy,
-    )
+def make_instance(rng, n_publics=2, g1c=bls12_381, g2c=bls12_381_g2):
+    r = g1c.r
+    oc1 = OracleCurve(q=g1c.q, a=0, b=g1c.b, r=r, gx=g1c.gx, gy=g1c.gy)
     oc2 = OracleCurve(
-        q=bls12_381_g2.q, a=0, b=bls12_381_g2.b, r=r,
-        gx=bls12_381_g2.gx, gy=bls12_381_g2.gy,
-        field=F2(bls12_381_g2.q, bls12_381_g2.nr),
+        q=g2c.q, a=0, b=g2c.b, r=r, gx=g2c.gx, gy=g2c.gy,
+        field=F2(g2c.q, g2c.nr),
     )
     rnd = lambda: int.from_bytes(rng.bytes(31), "little") % r
     alpha, beta, gamma, delta, a, b = (rnd() for _ in range(6))
@@ -58,6 +54,28 @@ def make_instance(rng, n_publics=2):
     return vk, proof, publics, oc1, c
 
 
+@pytest.mark.smoke
+def test_groth16_verify_toy_bn(rng):
+    """The complete verifier (IC MSM + vk_x fold + pairingEq4) over the
+    toy BN family — valid accepts, corrupted proof / public rejects."""
+    ctx1 = build_curve(toy_bn)
+    ctx2 = build_curve(toy_bn_g2)
+    vk, proof, publics, oc1, c = make_instance(
+        rng, g1c=toy_bn, g2c=toy_bn_g2
+    )
+    assert verify(ctx1, ctx2, vk, proof, publics) is True
+
+    bad = Proof(a=proof.a, b=proof.b, c=oc1.mul(oc1.g, c + 1))
+    assert verify(ctx1, ctx2, vk, bad, publics) is False
+
+    assert verify(ctx1, ctx2, vk, proof, [publics[0] + 1] + publics[1:]) is False
+
+
+@pytest.mark.slow
+@pytest.mark.skip(
+    reason="XLA:CPU compile OOMs (>122 GB); run tools/check_groth16.py "
+    "on the TPU backend instead"
+)
 def test_groth16_verify_bls12_381(rng):
     ctx1 = build_curve(bls12_381)
     ctx2 = build_curve(bls12_381_g2)

@@ -511,3 +511,84 @@ def test_pl_bucket_g2_matches_xla_path(rng):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
     want = oc.msm(pts, ks)
     assert (F.to_host(ga[0])[0], F.to_host(ga[1])[0]) == want
+
+
+def test_pl_bucket_packed_matches_unpacked(rng):
+    """packed=True (u16-packed VMEM bucket state, the c=7 / B=64 regime)
+    must be bit-identical to the unpacked kernel: same addition order,
+    only the state representation differs."""
+    n, c, T = 32, 7, 4  # B = 64: the packed target regime
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    ks[1] = 0
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    digits = windows.signed_window_digits(ints_to_limbs(ks, toy.fr.n_limbs), c, 16)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pl_bucket.bucket_accumulate(
+            toy, (X, Y), digits, lanes=T, c=c, reduce_lanes=True, packed=True
+        )
+        ref = pl_bucket.bucket_accumulate(
+            toy, (X, Y), digits, lanes=T, c=c, reduce_lanes=True, packed=False
+        )
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_finish_large_matches_jnp_reduction(rng):
+    """pl_reduce.finish_large (wide collapse + B=1 window fold) ≡
+    bucket_reduce + window_fold as a group element (toy, interpret)."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    from zprize_wasm_msm_tpu.ops.msm import pl_reduce
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n, c, T = 48, 4, 4
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    digits = windows.signed_window_digits(ints_to_limbs(ks, toy.fr.n_limbs), c, 16)
+
+    with pltpu.force_tpu_interpret_mode():
+        buckets = pl_bucket.bucket_accumulate(
+            toy, (X, Y), digits, lanes=T, c=c, reduce_lanes=True
+        )
+        got_pt = pl_reduce.finish_large(toy, buckets, c)
+    ref_pt = pippenger.window_fold(
+        toy, pippenger.bucket_reduce(toy, buckets), c
+    )
+    ga = group.to_affine(toy, tuple(x[:, None] for x in got_pt))
+    ra = group.to_affine(toy, tuple(x[:, None] for x in ref_pt))
+    for g, r in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_msm_c7_full_scalar_matches_oracle(rng):
+    """End-to-end msm at c=7 (the non-GLV full-scalar headline config:
+    packed buckets + finish_large routing at full width; at toy width it
+    exercises the same code paths' correctness) ≡ host oracle."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    from tests.test_msm import result_to_affine
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n = 40
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy, (X, Y), sc, c=7, max_bits=16, lanes=8, impl="pallas"
+        )
+    assert result_to_affine(toy, got) == oc.msm(pts, ks)

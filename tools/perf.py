@@ -85,6 +85,19 @@ def bucket_add_u32_ops(L: int, B: int) -> int:
     return muls + fadds + select + 8 * L
 
 
+def g2_bucket_add_u32_ops(L: int, B: int, packed: bool = False) -> int:
+    """One pl_bucket G2 (Fq2) point-window add: 11 Karatsuba Fq2 muls
+    (3 base muls + ~5 base add/sub each, ktower.KFq2.mul) + ~17 Fq2
+    add/sub (2 base each) + the B-way select sweep over 2L-row (or
+    L-row packed) elements.  L = base-field limbs."""
+    f2mul = 3 * field_mul_u32_ops(L) + 5 * 6 * L
+    muls = 11 * f2mul
+    fadds = 17 * 2 * 6 * L
+    rows = (2 * L) // 2 if packed else 2 * L
+    select = B * (1 + 6 * rows)
+    return muls + fadds + select + 16 * L
+
+
 def main():
     import jax
 
@@ -209,6 +222,41 @@ def main():
 
     sol_badd_mps = u32_gops * 1e9 / bucket_add_u32_ops(L, B) / 1e6
 
+    # ---- 4. G2 (Fq2) bucket mixed-add rate -------------------------------
+    # the VERDICT r4 gap: G2 had no roofline; same measurement as G1 but
+    # over bls12_381_g2 (element length 2L), at the shipping c
+    g2_adds_mps = None
+    g2_c = 6  # packed-bucket G2 window (B = 32)
+    g2_B = 1 << (g2_c - 1)
+    if on_tpu and os.environ.get("PERF_G2", "1") == "1":
+        from zprize_wasm_msm_tpu.models.curves import bls12_381_g2
+        from zprize_wasm_msm_tpu.ops.msm import pl_bucket
+        from zprize_wasm_msm_tpu.utils.limbs import ints_to_limbs
+
+        N2 = min(N, 1 << 18)
+        F2d = bls12_381_g2.field
+        gX = F2d.const(bls12_381_g2.gx)  # (2L,)
+        gY = F2d.const(bls12_381_g2.gy)
+        Xp2 = jnp.asarray(np.tile(np.asarray(gX)[:, None], (1, N2)))
+        Yp2 = jnp.asarray(np.tile(np.asarray(gY)[:, None], (1, N2)))
+        digs2 = jnp.asarray(
+            rng.integers(-g2_B, g2_B + 1, size=(8, N2)).astype(np.int32)
+        )
+
+        @jax.jit
+        def g2_bucket_pass(X, Y, d):
+            out = pl_bucket.bucket_accumulate(
+                bls12_381_g2, (X, Y), d, lanes=128, c=g2_c, packed=True
+            )
+            return jnp.sum(out[0], dtype=jnp.uint32)
+
+        t, _ = _bench(g2_bucket_pass, Xp2, Yp2, digs2)
+        g2_adds_mps = 8 * N2 / t / 1e6
+
+    sol_g2_badd_mps = (
+        u32_gops * 1e9 / g2_bucket_add_u32_ops(L, g2_B, packed=True) / 1e6
+    )
+
     out = {
         "device": jax.devices()[0].device_kind,
         "u32_vpu_gops_ceiling": round(u32_gops, 1),
@@ -231,6 +279,11 @@ def main():
         out["bucket_add_Mps"] = round(bucket_adds_mps, 2)
         out["bucket_add_sol_pct"] = round(100 * bucket_adds_mps / sol_badd_mps, 1)
         out["bucket_effective_fmul_Mps"] = round(bucket_adds_mps * 11, 1)
+    out["g2_bucket_add_u32_ops"] = g2_bucket_add_u32_ops(L, g2_B, packed=True)
+    out["g2_bucket_add_sol_Mps"] = round(sol_g2_badd_mps, 2)
+    if g2_adds_mps is not None:
+        out["g2_bucket_add_Mps"] = round(g2_adds_mps, 2)
+        out["g2_bucket_add_sol_pct"] = round(100 * g2_adds_mps / sol_g2_badd_mps, 1)
     print(json.dumps(out))
     path = os.path.join(REPO, "PERF.json")
     with open(path, "w") as f:

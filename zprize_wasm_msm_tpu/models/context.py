@@ -151,6 +151,10 @@ class CurveContext:
             from ..ops.pairing import bn
 
             return bn, bn.get_bn254_spec()
+        if name.startswith("toy_bn"):
+            from ..ops.pairing import bn
+
+            return bn, bn.get_toy_bn_spec()
         if name.startswith("mnt6753"):
             from ..ops.pairing import mnt6
 

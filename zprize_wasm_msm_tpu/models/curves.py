@@ -265,6 +265,38 @@ toy_g3 = CurveSpec(
     nr=11,
 )
 
+# Toy BN pairing family (z = 5 in the BN parametrization:
+# q = 36z^4+36z^3+24z^2+6z+1, r = q - 6z^2, t = 6z^2+1): a COMPLETE
+# 15-bit analog of bn254 — prime q and r, q = 3 mod 4 (u^2 = -1
+# irreducible), xi = 4 + u a sextic non-residue whose D-type twist
+# y^2 = x^3 + b/xi has order r * (2q - r).  Derived host-side exactly
+# like the real curve constants; exercises the FULL BN optimal-ate
+# pairing (Miller loop, mul024, Frobenius tables, final-exp chain) and
+# the Groth16 verifier at toy compile cost in the fast CI tier.
+toy_bn = CurveSpec(
+    name="toy_bn",
+    q=27631,
+    r=27481,  # prime; cofactor 1
+    a=0,
+    b=6,
+    gx=6,
+    gy=9010,
+    glv=None,
+)
+
+toy_bn_g2 = CurveSpec(
+    name="toy_bn_g2",
+    q=27631,
+    r=27481,  # prime subgroup; cofactor 2q - r = 27781
+    a=0,
+    b=(21131, 1625),  # b / xi, xi = 4 + u
+    gx=(9525, 22057),
+    gy=(13834, 1256),
+    glv=None,
+    ext=2,
+    nr=-1,
+)
+
 # FFT-friendly toy: r - 1 = 2^7 * 21, so Fr has 2-adicity 7 (group/scalar
 # FFTs up to size 128); same generic kernels, 13-bit field.
 toy_fft = CurveSpec(
@@ -344,4 +376,6 @@ CURVES = {
     "bn254": bn254,
     "bn254_g2": bn254_g2,
     "bn128": bn254,  # reference alias
+    "toy_bn": toy_bn,
+    "toy_bn_g2": toy_bn_g2,
 }

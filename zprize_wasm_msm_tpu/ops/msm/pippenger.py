@@ -335,9 +335,10 @@ def resolve_config(
         # the Pallas kernels cover Fq/Fq2 a=0 curves (the bench surface);
         # cubic-extension / general-a curves (MNT6753) take the jnp path
         impl = "xla"
-    # pl_bucket's VMEM cap: c <= 6 over Fq, c <= 5 over Fq2 (bucket
-    # state is 3 * 2^(c-1) * elem_len * 8 * 128 * 4 bytes vs ~14 MB)
-    c_cap = 6 if curve.ext == 1 else 5
+    # pl_bucket's VMEM cap: c <= 7 over Fq, c <= 6 over Fq2 with the
+    # u16-PACKED bucket state (c <= 6 / c <= 5 unpacked; bucket state is
+    # 3 * 2^(c-1) * rows * 8 * 128 * 4 bytes vs ~14 MB)
+    c_cap = 7 if curve.ext == 1 else 6
     if impl == "pallas" and c is not None and c > c_cap:
         # explicit large window: route to the engine that supports it
         # rather than tripping pl_bucket's VMEM assertion
@@ -346,7 +347,13 @@ def resolve_config(
         if impl == "pallas-sorted":
             c = windows.sorted_engine_window_size(N, max_bits)
         elif impl == "pallas":
-            c = c_cap
+            # pick the c <= c_cap minimizing swept window rows (passes run
+            # padded to 8 sublanes, so the metric is pad8(W)); ties go to
+            # the smaller c (smaller B = cheaper bucket select + finish).
+            def rows(cc):
+                return -(-windows.num_windows(max_bits, cc) // 8) * 8
+
+            c = min(range(3, c_cap + 1), key=lambda cc: (rows(cc), cc))
         else:
             c = windows.default_window_size(N, max_bits, mem_budget_bytes)
     if impl == "xla" and lanes is None:
@@ -370,12 +377,16 @@ def _bucket_sums_pallas(curve, points, digits, c, lanes):
 
     X, Y = points
     W, N = digits.shape
-    c_cap = 6 if curve.ext == 1 else 5
+    c_cap = 7 if curve.ext == 1 else 6
     assert c <= c_cap, f"pallas bucket path requires c <= {c_cap}, got {c}"
     assert curve.ext in (1, 2), "pallas bucket kernel covers Fq/Fq2"
     Wp = min(8, W)
     T = lanes if lanes is not None else 128
-    while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20:
+    # u16-pack the VMEM bucket state when the unpacked state would not
+    # fit (c = 7 over Fq / c = 6 over Fq2): same arithmetic, half the
+    # state bytes, B-way select runs on packed words
+    packed = pl_bucket.vmem_bytes(curve, Wp, T, c) > 14 << 20
+    while T > 8 and pl_bucket.vmem_bytes(curve, Wp, T, c, packed) > 14 << 20:
         T //= 2
     wpad = (-W) % Wp
     if wpad:  # zero digits pass through as identity adds
@@ -385,7 +396,7 @@ def _bucket_sums_pallas(curve, points, digits, c, lanes):
     parts = [
         pl_bucket.bucket_accumulate(
             curve, (X, Y), digits[i : i + Wp], lanes=T, c=c,
-            reduce_lanes=True,
+            reduce_lanes=True, packed=packed,
         )  # (L, Wp, B)
         for i in range(0, W + wpad, Wp)
     ]
@@ -487,5 +498,10 @@ def msm(
         if W <= 1024 // B:
             buckets = _bucket_sums_pallas(curve, (X, Y), digits, c, lanes)
             return pl_reduce.finish(curve, buckets, c)
+        if B <= 128:
+            # W*B exceeds one 1024-lane block (c = 7 full-width scalars):
+            # collapse buckets per window on a wide grid, then fold
+            buckets = _bucket_sums_pallas(curve, (X, Y), digits, c, lanes)
+            return pl_reduce.finish_large(curve, buckets, c)
     per_window = window_sums(curve, (X, Y), digits, c, impl, lanes)
     return window_fold(curve, per_window, c)

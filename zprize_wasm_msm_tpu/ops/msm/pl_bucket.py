@@ -47,9 +47,11 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def vmem_bytes(curve: CurveSpec, W: int, T: int, c: int) -> int:
+def vmem_bytes(curve: CurveSpec, W: int, T: int, c: int, packed: bool = False) -> int:
     """Estimated VMEM footprint of the bucket state + mul scratch."""
     L = curve.field.elem_len
+    if packed:
+        L //= 2
     B = 1 << (c - 1)
     Wpad = -(-W // 8) * 8
     state = 3 * B * L * Wpad * T * 4
@@ -57,8 +59,27 @@ def vmem_bytes(curve: CurveSpec, W: int, T: int, c: int) -> int:
     return state + scratch
 
 
-def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
-            bx_ref, by_ref, bz_ref, acc_ref):
+def _pack16(a):
+    """Stacked (L, ...) canonical 16-bit limbs -> (L/2, ...) u32 words
+    (limb 2j in the low half, limb 2j+1 in the high half).  Halving the
+    bucket-state rows is what fits B = 64 (c = 7) in the ~16 MB VMEM:
+    the B-way select sweep runs on packed words (half the rows), and the
+    unpack/pack around the one mixed add is ~0.5% of the add's ALU cost."""
+    L = a.shape[0]
+    return jnp.stack([a[2 * j] | (a[2 * j + 1] << 16) for j in range(L // 2)])
+
+
+def _unpack16(p):
+    """Inverse of _pack16: (L/2, ...) words -> (L, ...) 16-bit limbs."""
+    rows = []
+    for j in range(p.shape[0]):
+        rows.append(p[j] & jnp.uint32(0xFFFF))
+        rows.append(p[j] >> 16)
+    return jnp.stack(rows)
+
+
+def _kernel(curve: CurveSpec, c: int, steps: int, packed: bool,
+            dig_ref, x_ref, y_ref, bx_ref, by_ref, bz_ref, acc_ref):
     # generic over the coordinate field (kfield: Fq for G1, Fq2 for G2 —
     # the reference's optimized engine is G1-hardcoded,
     # build_multiexp_opt.js:27-30; fixed here in the kernel itself)
@@ -68,10 +89,13 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
     W, T = dig_ref.shape[1], dig_ref.shape[2]
     r = pl.program_id(0)
 
+    pack = _pack16 if packed else (lambda a: a)
+    unpack = _unpack16 if packed else (lambda a: a)
+
     @pl.when(r == 0)
     def _init():
         zeros = jnp.zeros_like(bx_ref)
-        ones = kf.one((W, T))  # (L, W, T)
+        ones = pack(kf.one((W, T)))  # (L or L/2, W, T)
         bx_ref[:] = zeros
         by_ref[:] = jnp.broadcast_to(ones[None], by_ref.shape)
         bz_ref[:] = zeros
@@ -94,6 +118,7 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
         y_eff = kcore.kselect(is_zero, jnp.zeros_like(pyw), y_eff)
 
         # B-way masked gather of each lane's current bucket value
+        # (on PACKED words when packed=True: half the select rows)
         cur_x, cur_y, cur_z = bx_ref[0], by_ref[0], bz_ref[0]
         for b in range(1, B):
             m = idx == b
@@ -102,8 +127,11 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
             cur_z = kcore.kselect(m, bz_ref[b], cur_z)
 
         new = kgroup.kadd_mixed(
-            curve, acc_ref, (cur_x, cur_y, cur_z), (x_eff, y_eff)
+            curve, acc_ref,
+            (unpack(cur_x), unpack(cur_y), unpack(cur_z)),
+            (x_eff, y_eff),
         )
+        new = tuple(pack(n) for n in new)
 
         # B-way masked scatter back (zero digits write new == cur: harmless)
         for b in range(B):
@@ -126,16 +154,17 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
 
         def body(b, _):
             bs = pl.dslice(b, 1)
-            x = bx_ref[bs][0]
-            y = by_ref[bs][0]
-            z = bz_ref[bs][0]
+            xp = bx_ref[bs][0]
+            yp = by_ref[bs][0]
+            zp = bz_ref[bs][0]
+            x, y, z = unpack(xp), unpack(yp), unpack(zp)
             rx = pltpu.roll(x, s, 2)
             ry = pltpu.roll(y, s, 2)
             rz = pltpu.roll(z, s, 2)
             nx, ny, nz = kgroup.kadd(curve, acc_ref, (x, y, z), (rx, ry, rz))
-            bx_ref[bs] = kcore.kselect(keep, nx, x)[None]
-            by_ref[bs] = kcore.kselect(keep, ny, y)[None]
-            bz_ref[bs] = kcore.kselect(keep, nz, z)[None]
+            bx_ref[bs] = kcore.kselect(keep, pack(nx), xp)[None]
+            by_ref[bs] = kcore.kselect(keep, pack(ny), yp)[None]
+            bz_ref[bs] = kcore.kselect(keep, pack(nz), zp)[None]
             return 0
 
         jax.lax.fori_loop(0, B, body, 0)
@@ -144,7 +173,7 @@ def _kernel(curve: CurveSpec, c: int, steps: int, dig_ref, x_ref, y_ref,
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("lanes", "c", "raw", "reduce_lanes"),
+    static_argnames=("lanes", "c", "raw", "reduce_lanes", "packed"),
 )
 def bucket_accumulate(
     curve: CurveSpec,
@@ -155,6 +184,7 @@ def bucket_accumulate(
     c: int = 4,
     raw: bool = False,
     reduce_lanes: bool = False,
+    packed: bool = False,
 ):
     """Scatter-accumulate points into per-(window, lane) signed buckets.
 
@@ -168,6 +198,11 @@ def bucket_accumulate(
     (L, W, T, B) with the lane axis unreduced (raw=True keeps the
     kernel-native (B, L, W, T) layout).
 
+    packed=True stores the VMEM bucket state as (B, L/2, W, T) u32 words
+    holding two 16-bit limbs each — HALF the state, which is what fits
+    c = 7 (B = 64) for 381-bit fields in the ~16 MB VMEM.  Results are
+    identical (the arithmetic runs unpacked); returned sums are unpacked.
+
     Field-generic: L is the coordinate-field element length, so G2
     points over Fq2 stream through with L = 2 x base limbs.
     """
@@ -176,6 +211,9 @@ def bucket_accumulate(
     T = lanes
     X, Y = points
     W, N = digits.shape
+    if packed:
+        assert L % 2 == 0, "packed bucket state needs an even limb count"
+    Ls = L // 2 if packed else L  # state rows per coordinate
     pad = (-N) % T
     if pad:
         zf = jnp.zeros((L, pad), U32)
@@ -195,12 +233,12 @@ def bucket_accumulate(
     in_idx = (lambda i: (jnp.minimum(i, last), 0, 0)) if tail else (
         lambda i: (i, 0, 0)
     )
-    out_shape = jax.ShapeDtypeStruct((B, L, W, T), U32)
+    out_shape = jax.ShapeDtypeStruct((B, Ls, W, T), U32)
     grid_out_spec = pl.BlockSpec(
-        (B, L, W, T), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (B, Ls, W, T), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     bx, by, bz = pl.pallas_call(
-        functools.partial(_kernel, curve, c, steps),
+        functools.partial(_kernel, curve, c, steps, packed),
         grid=(steps + tail,),
         in_specs=[
             pl.BlockSpec((1, W, T), in_idx, memory_space=pltpu.VMEM),
@@ -211,6 +249,14 @@ def bucket_accumulate(
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[pltpu.VMEM((curve.kfield.acc_rows, W, T), U32)],
     )(d3, x3, y3)
+    if packed:
+        # unpack (B, L/2, W, T) words -> (B, L, W, T) limbs (jnp, cheap)
+        def unpk(a):
+            lo = a & jnp.uint32(0xFFFF)
+            hi = a >> 16
+            return jnp.stack([lo, hi], axis=2).reshape(B, L, *a.shape[2:])
+
+        bx, by, bz = unpk(bx), unpk(by), unpk(bz)
     if reduce_lanes:
         # lane 0 holds each bucket's total: (B, L, W, T) -> (L, W, B)
         return tuple(

@@ -107,7 +107,7 @@ def lane_reduce(curve: CurveSpec, buckets):
 # ---------------------------------------------------------------------------
 
 
-def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref,
+def _finish_kernel(curve, c, W, B, bx_ref, by_ref, bz_ref,
                    ox_ref, oy_ref, oz_ref, sx, sy, sz, macc):
     """One grid step = one round of the fused weighted-sum schedule.
 
@@ -119,10 +119,10 @@ def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref,
     / 155 s compile; executable size is what the remote-device tunnel
     pays to load at every first call).
     """
-    B = 1 << (c - 1)
     lb = (B - 1).bit_length()
+    kb = B.bit_length()  # ladder rounds: k = b+1 <= B fits kb bits
     cW1 = c * (W - 1)
-    O1 = c            # segment tree start
+    O1 = kb           # segment tree start
     O2 = O1 + lb      # head-mask step
     O3 = O2 + 1       # selective-double start
     O4 = O3 + cW1     # lane-butterfly start
@@ -195,7 +195,7 @@ def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref,
     )
     T1 = kgroup.kadd(curve, macc, A1, o2)
 
-    bit = (k >> jnp.clip(c - 1 - r, 0, 31)) & 1
+    bit = (k >> jnp.clip(kb - 1 - r, 0, 31)) & 1
     am = (
         (p_lad & (bit == 1))
         | (p_seg & (b_idx < half_seg))
@@ -220,10 +220,15 @@ def _finish_kernel(curve, c, W, bx_ref, by_ref, bz_ref,
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def finish(curve: CurveSpec, buckets, c: int):
     """(bx, by, bz) each (L, W, B) dense bucket sums -> ONE projective
-    point (L,) x3: sum_w 2^(c*w) sum_b (b+1) S_{w,b}."""
+    point (L,) x3: sum_w 2^(c*w) sum_b (b+1) S_{w,b}.
+
+    B may be smaller than 2^(c-1): c sets the WINDOW WEIGHT (2^(c*w));
+    B only sizes the bucket ladder/segment phases.  B = 1 turns this
+    into a pure window fold (sum_w 2^(c*w) S_w) — the second stage of
+    finish_large."""
     bx, by, bz = buckets
     L, W, B = bx.shape
-    assert B == 1 << (c - 1)
+    assert B <= 1 << (c - 1) and B & (B - 1) == 0
     slots = 1024 // B
     assert W <= slots, f"finish kernel needs W ({W}) <= 1024/B ({slots})"
     acc_rows = curve.kfield.acc_rows
@@ -235,11 +240,11 @@ def finish(curve: CurveSpec, buckets, c: int):
 
     gx, gy, gz = to_grid(bx), to_grid(by), to_grid(bz)
     lb = (B - 1).bit_length()
-    R = c + lb + 1 + c * (W - 1) + 7 + 3
+    R = B.bit_length() + lb + 1 + c * (W - 1) + 7 + 3
     out_shape = jax.ShapeDtypeStruct((L, 8, 128), U32)
     spec = pl.BlockSpec((L, 8, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     ox, oy, oz = pl.pallas_call(
-        functools.partial(_finish_kernel, curve, c, W),
+        functools.partial(_finish_kernel, curve, c, W, B),
         grid=(R,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec),
@@ -252,3 +257,115 @@ def finish(curve: CurveSpec, buckets, c: int):
         ],
     )(gx, gy, gz)
     return (ox[:, 0, 0], oy[:, 0, 0], oz[:, 0, 0])
+
+
+# ---------------------------------------------------------------------------
+# large-B finish: per-window weighted collapse, then the B=1 window fold
+# ---------------------------------------------------------------------------
+
+
+def _collapse_kernel(curve, c, W, B, S, bx_ref, by_ref, bz_ref,
+                     ox_ref, oy_ref, oz_ref, sx, sy, sz, macc):
+    """One grid step = one round of the per-window weighted bucket
+    collapse: the ladder scales every (w, b) lane by (b+1) in parallel
+    (kb = log2(B)+1 rounds), then a masked lane-roll segment tree sums
+    each window's B-lane segment (log2(B) rounds).  Same schedule as the
+    first two phases of _finish_kernel, but on an (L, S, 128) grid so
+    W*B can exceed 1024 lanes (c = 7 -> 40 windows x 64 buckets)."""
+    lb = (B - 1).bit_length()
+    kb = B.bit_length()
+    O1 = kb
+    R = kb + lb
+    r = pl.program_id(0)
+    shape = bx_ref.shape[1:]  # (S, 128)
+    l_iota = (
+        jax.lax.broadcasted_iota(I32, shape, 0) * 128
+        + jax.lax.broadcasted_iota(I32, shape, 1)
+    )
+    b_idx = l_iota % B
+    k = b_idx + 1
+
+    zero = kgroup.kzero_point(curve, shape)
+
+    @pl.when(r == 0)
+    def _init():
+        sx[:], sy[:], sz[:] = zero
+
+    p_lad = r < O1
+    p_seg = r >= O1
+
+    Sv = (bx_ref[:], by_ref[:], bz_ref[:])
+    A = (sx[:], sy[:], sz[:])
+
+    e_seg = jnp.clip(r - O1 + 1, 1, 31)
+    half_seg = jnp.int32(B) >> e_seg
+    shift = jnp.where(p_seg, jnp.int32(128) - half_seg, jnp.int32(0))
+    rolled = tuple(pltpu.roll(a, shift, 2) for a in A)
+
+    D = kgroup.kdouble(curve, macc, A)
+    A1 = tuple(kgroup_select(jnp.full(shape, p_lad), dn, an) for dn, an in zip(D, A))
+
+    o2 = tuple(
+        kgroup_select(jnp.full(shape, p_lad), sn, rl)
+        for sn, rl in zip(Sv, rolled)
+    )
+    T1 = kgroup.kadd(curve, macc, A1, o2)
+
+    bit = (k >> jnp.clip(kb - 1 - r, 0, 31)) & 1
+    am = (p_lad & (bit == 1)) | (p_seg & (b_idx < half_seg))
+    A2 = tuple(kgroup_select(am, tn, an) for tn, an in zip(T1, A1))
+
+    sx[:], sy[:], sz[:] = A2
+
+    @pl.when(r == R - 1)
+    def _emit():
+        ox_ref[:], oy_ref[:], oz_ref[:] = A2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def finish_large(curve: CurveSpec, buckets, c: int):
+    """(bx, by, bz) each (L, W, B) dense bucket sums -> ONE projective
+    point, for configurations whose W * B exceeds the single-block
+    finish kernel (c = 7: 38 windows x 64 buckets = 2432 lanes).
+
+    Stage A (_collapse_kernel): lane-parallel (b+1)-weighted collapse of
+    every window's bucket segment on an (L, S, 128) grid, ~kb + log2(B)
+    rounds.  Stage B: the proven finish() schedule at B = 1 folds the W
+    window sums with 2^(c*w) weights.  Reference lineage as finish()."""
+    bx, by, bz = buckets
+    L, W, B = bx.shape
+    assert B == 1 << (c - 1)
+    lanes_needed = W * B
+    # pad W so the sublane count S = W*B/128 is a multiple of 8
+    per_row = 128 // B if B <= 128 else 1
+    assert B <= 128, "collapse segments must fit one 128-lane row"
+    Wpad = -(-W // (8 * per_row)) * (8 * per_row)
+    S = Wpad * B // 128
+    acc_rows = curve.kfield.acc_rows
+
+    def to_grid(a):
+        pad = jnp.zeros((L, Wpad - W, B), U32)
+        return jnp.concatenate([a, pad], axis=1).reshape(L, S, 128)
+
+    gx, gy, gz = to_grid(bx), to_grid(by), to_grid(bz)
+    R = B.bit_length() + (B - 1).bit_length()
+    out_shape = jax.ShapeDtypeStruct((L, S, 128), U32)
+    spec = pl.BlockSpec((L, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, oz = pl.pallas_call(
+        functools.partial(_collapse_kernel, curve, c, Wpad, B, S),
+        grid=(R,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((L, S, 128), U32),
+            pltpu.VMEM((L, S, 128), U32),
+            pltpu.VMEM((L, S, 128), U32),
+            pltpu.VMEM((acc_rows, S, 128), U32),
+        ],
+    )(gx, gy, gz)
+    # window sums live at segment heads: flat lane w*B
+    heads = np.arange(W) * B
+    flat = tuple(a.reshape(L, S * 128)[:, heads] for a in (ox, oy, oz))
+    # stage B: pure window fold via finish() at B = 1
+    return finish(curve, tuple(a[:, :, None] for a in flat), c)

@@ -150,12 +150,46 @@ def _ell(tw: Tower, f, coefs, Px, Py):
     return tw.f12_mul014(f, coef_c, c1, c4)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def miller_loop(ps: PairingSpec, P, Q):
+#: canonical pair-batch quantum: every pairing entry point pads its batch
+#: to a multiple of this, so the Groth16 verifier (4 pairs), bilinearity
+#: tests (<= 8 pairs) and witness tools all reuse ONE compiled instance
+#: of each stage executable — compiles (minutes at full width) and
+#: tunnel executable-loads (~10 s each) are paid once per shape family.
+PAIR_BATCH = 8
+
+
+def _pad_cols(a, n_to, fill=None):
+    """Pad the last axis to n_to columns (zeros, or broadcast fill)."""
+    n = a.shape[-1]
+    if n == n_to:
+        return a
+    if fill is None:
+        pad = jnp.zeros(a.shape[:-1] + (n_to - n,), a.dtype)
+    else:
+        pad = jnp.broadcast_to(fill, a.shape[:-1] + (n_to - n,))
+    return jnp.concatenate([a, pad], axis=-1)
+
+
+def _padded_n(n: int) -> int:
+    return -(-n // PAIR_BATCH) * PAIR_BATCH
+
+
+def miller_loop(ps, P, Q):
     """Batched Miller loop: P affine G1 (L, N) x2; Q affine G2 (2L, N) x2.
 
     Returns f in Fq12, (12L, N).  Pairs with P or Q at infinity yield 1.
-    """
+    Pads the pair batch to PAIR_BATCH internally (infinity pairs -> 1)."""
+    n = P[0].shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        P = tuple(_pad_cols(a, np_) for a in P)
+        Q = tuple(_pad_cols(a, np_) for a in Q)
+    f = _j_miller(ps, P, Q)
+    return f[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_miller(ps: PairingSpec, P, Q):
     tw = ps.tower
     F2 = tw.f2
     Px, Py = P
@@ -277,6 +311,17 @@ def _j_csq(ps: PairingSpec, a, conj: bool):
 
 
 def final_exponentiation(ps: PairingSpec, f):
+    """Pads the batch to PAIR_BATCH (f = 1 columns pass through as 1),
+    then runs the stage chain; see _final_exponentiation_impl."""
+    tw = ps.tower
+    n = f.shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        f = _pad_cols(f, np_, fill=tw.f12_one((1,)))
+    return _final_exponentiation_impl(ps, f)[..., :n]
+
+
+def _final_exponentiation_impl(ps: PairingSpec, f):
     """f^((q^12 - 1) / r) (ref finalExponentiation:1181-1290).
 
     Easy part: f^(q^6-1) = conj(f) * f^-1, then ^(q^2+1) via frobenius^2.
@@ -369,6 +414,9 @@ def pairing_eq(ps: PairingSpec, Ps, Qs):
     """
     tw = ps.tower
     f = miller_loop(ps, Ps, Qs)  # (12L, N)
+    # pad with ones to the canonical batch so the product tree compiles
+    # once per batch family (padding columns multiply in as identity)
+    f = _pad_cols(f, _padded_n(f.shape[-1]), fill=tw.f12_one((1,)))
     f = _f12_product_tree(ps, f)
     e = final_exponentiation(ps, f)
     one = tw.f12_one((1,))

@@ -43,10 +43,11 @@ class BNPairingSpec:
     g1: CurveSpec
     g2: CurveSpec
     z: int  # BN parameter; ate loop count is 6z+2
+    xi: Tuple[int, int] = (9, 1)  # sextic non-residue (ref pNonResidueF6:185)
 
     @cached_property
     def tower(self) -> Tower:
-        return Tower(self.g1.fq, xi=(9, 1))
+        return Tower(self.g1.fq, xi=self.xi)
 
     @cached_property
     def loop_count(self) -> int:
@@ -86,7 +87,7 @@ class BNPairingSpec:
         from ...oracle import F2 as HostF2
 
         hf = HostF2(self.g1.q, -1)
-        acc, base = (1, 0), (9, 1)
+        acc, base = (1, 0), self.xi
         while e:
             if e & 1:
                 acc = hf.mul(acc, base)
@@ -174,13 +175,24 @@ def _mul_by_q(ps: BNPairingSpec, Q):
     return (F2.mul(gx, F2.conjugate(Qx)), F2.mul(gy, F2.conjugate(Qy)))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def miller_loop(ps: BNPairingSpec, P, Q):
+def miller_loop(ps, P, Q):
     """Batched BN Miller loop (ref millerLoop:806-885 + prepareG2:550).
 
     P affine G1 (L, N) x2; Q affine G2 (2L, N) x2.  Pairs with P or Q at
-    infinity yield 1.
-    """
+    infinity yield 1.  Pads the pair batch to the canonical PAIR_BATCH
+    (see bls12.PAIR_BATCH) so all callers share one executable."""
+    from .bls12 import _pad_cols, _padded_n
+
+    n = P[0].shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        P = tuple(_pad_cols(a, np_) for a in P)
+        Q = tuple(_pad_cols(a, np_) for a in Q)
+    return _j_miller(ps, P, Q)[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_miller(ps: BNPairingSpec, P, Q):
     tw = ps.tower
     F2 = tw.f2
     Px, Py = P
@@ -283,12 +295,27 @@ def final_exponentiation(ps: BNPairingSpec, f):
 
     Easy part (FirstChunk:994): f^(q^6-1) then ^(q^2+1).
     Hard part (LastChunk:1200-1286): the devegili/zkcrypto BN chain with
-    three cyclotomic exponentiations by -z.  Composed from SMALL stage
+    three cyclotomic exponentiations by -z.  The chain's exponent is
+    d * (q^4 - q^2 + 1)/r with d = 2z(6z^2+3z+1) (verified symbolically;
+    the reference computes the same chain at :1200-1286) — a harmless
+    fixed power: the result is still a non-degenerate bilinear pairing
+    and matches the reference bit for bit.  Composed from SMALL stage
     jits (easy part, ONE shared cyclotomic-exp executable, the
     square/tail glue) — the fused module exceeds this environment's TPU
     compile-helper memory cap; see bls12.final_exponentiation for the
-    same decomposition on the BLS chain.
+    same decomposition on the BLS chain.  Batch padded to PAIR_BATCH.
     """
+    from .bls12 import _pad_cols, _padded_n
+
+    tw = ps.tower
+    n = f.shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        f = _pad_cols(f, np_, fill=tw.f12_one((1,)))
+    return _fe_impl(ps, f)[..., :n]
+
+
+def _fe_impl(ps: BNPairingSpec, f):
     elt = _j_fe_easy(ps, f)
     A = _j_exp_nz(ps, elt)
     B, D = _j_bd(ps, A)
@@ -318,8 +345,12 @@ def _f12_product_tree(ps: BNPairingSpec, f):
 
 def pairing_eq(ps: BNPairingSpec, Ps, Qs):
     """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-5 for bn128)."""
+    from .bls12 import _pad_cols, _padded_n
+
     tw = ps.tower
-    f = _f12_product_tree(ps, miller_loop(ps, Ps, Qs))
+    f = miller_loop(ps, Ps, Qs)
+    f = _pad_cols(f, _padded_n(f.shape[-1]), fill=tw.f12_one((1,)))
+    f = _f12_product_tree(ps, f)
     e = final_exponentiation(ps, f)
     one = tw.f12_one((1,))
     return jnp.all(e == one)
@@ -335,3 +366,19 @@ def get_bn254_spec() -> BNPairingSpec:
 
         _bn254_spec = BNPairingSpec(g1=bn254, g2=bn254_g2, z=BN254_Z)
     return _bn254_spec
+
+
+_toy_bn_spec = None
+
+
+def get_toy_bn_spec() -> BNPairingSpec:
+    """The 15-bit toy BN family (z = 5): the SAME pairing code at ~1000x
+    smaller compile cost, used to keep the pairing + Groth16 composition
+    in the fast CI tier (the full-width instantiations compile minutes
+    and are covered by tools/check_pairing.py / check_groth16.py)."""
+    global _toy_bn_spec
+    if _toy_bn_spec is None:
+        from ...models.curves import toy_bn, toy_bn_g2
+
+        _toy_bn_spec = BNPairingSpec(g1=toy_bn, g2=toy_bn_g2, z=5, xi=(4, 1))
+    return _toy_bn_spec

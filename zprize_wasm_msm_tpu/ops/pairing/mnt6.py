@@ -294,13 +294,25 @@ def _add_step(ps, R, QX, QY, QY2):
     return (nX, nY, nZ, nT), (L1, nZ)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def miller_loop(ps: MNT6PairingSpec, P, Q):
+def miller_loop(ps, P, Q):
     """Batched MNT6 ate Miller loop (ref millerLoop:678-787).
 
     P affine G1 (L, N) x2; Q affine G2 (3L, N) x2 over Fq3.
-    Pairs with P or Q at infinity yield 1.
-    """
+    Pairs with P or Q at infinity yield 1.  Pads the pair batch to the
+    canonical PAIR_BATCH (see bls12.PAIR_BATCH) so all callers share
+    one executable."""
+    from .bls12 import _pad_cols, _padded_n
+
+    n = P[0].shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        P = tuple(_pad_cols(a, np_) for a in P)
+        Q = tuple(_pad_cols(a, np_) for a in Q)
+    return _j_miller(ps, P, Q)[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _j_miller(ps: MNT6PairingSpec, P, Q):
     F3 = ps.f3
     s = ps.g1.fq
     L = s.n_limbs
@@ -385,9 +397,16 @@ def final_exponentiation(ps: MNT6PairingSpec, f):
     Composed from THREE stage jits (easy part / cyclotomic exp / final
     frobenius-multiply) — the fused 753-bit module exceeds this
     environment's TPU compile-helper memory cap; see
-    bls12.final_exponentiation for the same decomposition."""
+    bls12.final_exponentiation for the same decomposition.
+    Batch padded to the canonical PAIR_BATCH (f = 1 passthrough)."""
+    from .bls12 import _pad_cols, _padded_n
+
+    n = f.shape[-1]
+    np_ = _padded_n(n)
+    if np_ != n:
+        f = _pad_cols(f, np_, fill=f6_one(ps, (1,)))
     beta = _j_fe_easy(ps, f)
-    return _j_frob1_mul(ps, beta, _j_cyc_exp_w0(ps, beta))
+    return _j_frob1_mul(ps, beta, _j_cyc_exp_w0(ps, beta))[..., :n]
 
 
 def pairing(ps: MNT6PairingSpec, P, Q):
@@ -409,7 +428,11 @@ def _f6_product_tree(ps: MNT6PairingSpec, f):
 
 def pairing_eq(ps: MNT6PairingSpec, Ps, Qs):
     """prod_i e(P_i, Q_i) == 1 (ref pairingEq1-3:1312)."""
-    f = _f6_product_tree(ps, miller_loop(ps, Ps, Qs))
+    from .bls12 import _pad_cols, _padded_n
+
+    f = miller_loop(ps, Ps, Qs)
+    f = _pad_cols(f, _padded_n(f.shape[-1]), fill=f6_one(ps, (1,)))
+    f = _f6_product_tree(ps, f)
     e = final_exponentiation(ps, f)
     return jnp.all(e == f6_one(ps, (1,)))
 

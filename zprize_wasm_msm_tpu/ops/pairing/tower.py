@@ -318,7 +318,7 @@ class Tower:
 
         q = self.spec.q
         hf = HostF2(q, -1)
-        xi = (1, 1)
+        xi = self.xi  # (1,1) for the BLS tower, (9,1) for BN
         out = []
         for k in range(6):
             e = k * (q - 1) // 6
