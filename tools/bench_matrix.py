@@ -151,6 +151,13 @@ def main():
             )
     if "3" in want:
         guarded("bls12_377_2^20", run_msm, bls12_377, 20, reps=args.reps)
+    if "3b" in want:
+        # the r5 shipping engine (full 255-bit scalars, c=7 packed buckets)
+        # on the ZPrize curve
+        guarded(
+            "bls12_377_2^20_full_c7",
+            run_msm, bls12_377, 20, reps=args.reps, use_glv=False,
+        )
     if "4" in want:
         guarded("g2_2^16", run_msm, bls12_381_g2, 16, reps=args.reps)
     if "5" in want:
