@@ -469,8 +469,9 @@ def msm(
 
     points:  affine (X, Y), each (L, N), Montgomery form.
     scalars: (Ls, N) uint32 16-bit limbs, standard (non-Montgomery) domain.
-    impl:    "pallas" (TPU kernel, small-c VMEM-resident buckets, c <= 6 —
-             the measured-fastest G1 engine),
+    impl:    "pallas" (TPU kernel, VMEM-resident buckets — u16-packed
+             above the unpacked VMEM cap, c <= 7 over Fq / c <= 6 over
+             Fq2; the measured-fastest engine for G1 and G2),
              "pallas-sorted" (TPU kernel, sort-by-bucket + running-sum
              sweep, any c and any coordinate field — the G2/large-window
              engine),
