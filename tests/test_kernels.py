@@ -592,3 +592,38 @@ def test_msm_c7_full_scalar_matches_oracle(rng):
             toy, (X, Y), sc, c=7, max_bits=16, lanes=8, impl="pallas"
         )
     assert result_to_affine(toy, got) == oc.msm(pts, ks)
+
+
+def test_msm_c7_packed_finish_large_route(rng):
+    """End-to-end msm through the EXACT headline route: packed=True
+    bucket sweep (forced via lanes=1024: unpacked state would exceed the
+    14 MB VMEM budget, packed fits) composed with finish_large (W > 1024/B
+    via max_bits=128 digit windows, mostly-zero top windows).  Pins the
+    packed-sweep -> finish_large layout composition the full-width bench
+    runs on hardware."""
+    from zprize_wasm_msm_tpu.oracle import Curve as OracleCurve
+    from tests.test_msm import result_to_affine
+
+    oc = OracleCurve(q=toy.q, a=toy.a, b=toy.b, r=toy.r, gx=toy.gx, gy=toy.gy)
+    n = 24
+    pts = [oc.mul(oc.g, int(rng.integers(1, toy.r))) for _ in range(n)]
+    ks = [int(rng.integers(0, toy.r)) for _ in range(n)]
+    ks[0] = 0
+    xs = [FQ.to_mont_int(p[0]) for p in pts]
+    ys = [FQ.to_mont_int(p[1]) for p in pts]
+    X = jnp.asarray(ints_to_limbs(xs, L))
+    Y = jnp.asarray(ints_to_limbs(ys, L))
+    sc = ints_to_limbs(ks, toy.fr.n_limbs)
+    # route assertions: W = 19+1 > 1024//64 -> finish_large; lanes=1024
+    # trips the packed threshold
+    from zprize_wasm_msm_tpu.ops.msm import pl_bucket
+
+    W = windows.num_windows(128, 7)
+    assert W > 1024 // 64
+    assert pl_bucket.vmem_bytes(toy, 8, 1024, 7) > 14 << 20
+    assert pl_bucket.vmem_bytes(toy, 8, 1024, 7, packed=True) <= 14 << 20
+    with pltpu.force_tpu_interpret_mode():
+        got = pippenger.msm(
+            toy, (X, Y), sc, c=7, max_bits=128, lanes=1024, impl="pallas"
+        )
+    assert result_to_affine(toy, got) == oc.msm(pts, ks)

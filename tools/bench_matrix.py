@@ -161,7 +161,15 @@ def main():
     if "4" in want:
         guarded("g2_2^16", run_msm, bls12_381_g2, 16, reps=args.reps)
     if "5" in want:
-        guarded("headline_2^20", run_msm, bls12_381, 20, reps=args.reps)
+        # the shipping headline engine (full 255-bit scalars, c=7 packed
+        # buckets — same path as bench.py since r5); "5b" keeps the GLV
+        # c=6 engine under its own label for cross-round comparison
+        guarded(
+            "headline_2^20", run_msm, bls12_381, 20, reps=args.reps,
+            use_glv=False,
+        )
+    if "5b" in want:
+        guarded("headline_2^20_glv", run_msm, bls12_381, 20, reps=args.reps)
     if "6" in want:
         # largest single-chip configs (the 2^26 scaling story, VERDICT #7):
         # per-device working set at N=2^26/8 sharded equals the 2^23 point
@@ -170,6 +178,11 @@ def main():
         guarded("large_2^22", run_msm, bls12_381, 22, reps=max(1, args.reps - 1))
     if "7" in want:
         guarded("large_2^23", run_msm, bls12_381, 23, reps=1)
+    if "7b" in want:
+        # full-scalar engine at 2^23 — the exact per-device load of the
+        # 8-chip 2^26 config (tools/project_scaling.py consumes this)
+        guarded("large_2^23_full_c7", run_msm, bls12_381, 23, reps=1,
+                use_glv=False)
     if "8" in want:
         # SHIPPING-engine window sweep at the headline size (VERDICT r4
         # weak #3: the c=8..16 sweep characterized the sorted engine, not

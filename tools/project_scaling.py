@@ -151,8 +151,12 @@ def main():
     # conservative.
     results_large_rate = None
     rate_src = None
-    # prefer the largest verified single-chip datapoint available
+    # prefer the datapoint at the EXACT per-device load (2^23 points on
+    # the shipping engine); fall back to neighbours with the caveat that
+    # per-point throughput rises with N, so a 2^24-based rate slightly
+    # overstates and a GLV-era 2^23 rate understates
     for fname, cfg in [
+        ("RESULTS_LARGE_C7.json", "large_2^23_full_c7"),
         ("RESULTS_LARGE_R5.json", "large_2^24"),
         ("RESULTS_LARGE.json", "large_2^23"),
     ]:

@@ -473,10 +473,11 @@ def msm(
              above the unpacked VMEM cap, c <= 7 over Fq / c <= 6 over
              Fq2; the measured-fastest engine for G1 and G2),
              "pallas-sorted" (TPU kernel, sort-by-bucket + running-sum
-             sweep, any c and any coordinate field — the G2/large-window
-             engine),
+             sweep, any c and any coordinate field — the explicit
+             large-window engine),
              "xla" (pure-jnp private-bucket scatter), or "auto"
-             (on TPU: pallas for G1, pallas-sorted for G2; xla elsewhere).
+             (on TPU: pallas for G1 and G2, pallas-sorted for ext > 2;
+             xla elsewhere).
     Returns a projective point (X, Y, Z), Montgomery form.
     """
     X, Y = points

@@ -335,10 +335,9 @@ def finish_large(curve: CurveSpec, buckets, c: int):
     bx, by, bz = buckets
     L, W, B = bx.shape
     assert B == 1 << (c - 1)
-    lanes_needed = W * B
-    # pad W so the sublane count S = W*B/128 is a multiple of 8
-    per_row = 128 // B if B <= 128 else 1
     assert B <= 128, "collapse segments must fit one 128-lane row"
+    # pad W so the sublane count S = W*B/128 is a multiple of 8
+    per_row = 128 // B
     Wpad = -(-W // (8 * per_row)) * (8 * per_row)
     S = Wpad * B // 128
     acc_rows = curve.kfield.acc_rows
