@@ -72,6 +72,12 @@ def main():
         print(f"# {name}: {time.time()-t:.1f}s", file=sys.stderr, flush=True)
 
     guarded("pallas", lambda: ctx.msm((X, Y), sc, impl="pallas"))
+    # the r5 shipping engine: full 255-bit scalars, c=7 packed buckets +
+    # finish_large — algorithmically distinct window/bucket/finish config
+    guarded(
+        "pallas-full-c7",
+        lambda: ctx.msm((X, Y), sc, impl="pallas", use_glv=False),
+    )
     guarded("pallas-sorted", lambda: ctx.msm((X, Y), sc, impl="pallas-sorted"))
     # the jnp private-bucket engine needs a small lane budget on the
     # 16 GB chip (its per-lane bucket state OOMs at the default 2 GB)
