@@ -13,8 +13,11 @@ pytestmark = pytest.mark.slow
 
 Z = bls12.BLS12_381_X
 
-#: BLS12-381 G1 cofactor (h1 = (z-1)^2 / 3)
-H1 = (abs(Z) - 1) ** 2 // 3
+#: BLS12-381 G1 cofactor h1 = (z-1)^2 / 3 — with z NEGATIVE for this
+#: curve, (z-1)^2 = (|z|+1)^2.  (An earlier revision used (|z|-1)^2/3,
+#: which is NOT the group cofactor: its "cleared" point stayed outside
+#: the subgroup and the test blamed the — correct — membership check.)
+H1 = (abs(Z) + 1) ** 2 // 3
 
 
 def _find_curve_point_g1(start_x: int):

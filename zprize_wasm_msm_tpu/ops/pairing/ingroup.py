@@ -118,7 +118,7 @@ def g1_in_group(curve: CurveSpec, z: int, P: Tuple[jnp.ndarray, jnp.ndarray]):
 
 def _f2_const_mul(F2, A, c0: int, c1: int):
     """Fq2 batch times the Fq2 host constant c0 + c1*u."""
-    fq = F2.fq
+    fq = F2.spec
     L = fq.n_limbs
     const = jnp.asarray(
         np.concatenate(
