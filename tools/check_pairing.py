@@ -124,9 +124,12 @@ def run_family(name: str, rng):
     b1Q = oc2.mul(Q, b + 1)
     log(f"{name}: host points ready in {time.time()-t_start:.1f}s")
 
-    # pairs: (aP,bQ) (-abP,Q) ((a+1)P,bQ) (aP,(b+1)Q) (P,Q)
-    Ps = _g1_dev(g1c, [aP, nabP, a1P, aP, P])
-    Qs = _g2_dev(g2c, [bQ, Q, bQ, b1Q, Q])
+    # pairs: (aP,bQ) (-abP,Q) ((a+1)P,bQ) (aP,(b+1)Q) (P,Q) (inf,Q)
+    # (the 6th pair rides the same padded batch-8 executables: the
+    # infinity input must yield exactly 1 from the Miller loop — the
+    # hardware form of the reference's pairing-with-zero tests)
+    Ps = _g1_dev(g1c, [aP, nabP, a1P, aP, P, None])
+    Qs = _g2_dev(g2c, [bQ, Q, bQ, b1Q, Q, Q])
 
     t0 = time.time()
     m = mod.miller_loop(ps, Ps, Qs)
@@ -142,9 +145,11 @@ def run_family(name: str, rng):
         mulfn = functools.partial(mod.f6_mul, ps)
         one = np.asarray(mod.f6_one(ps, (1,)))
 
+    inf_is_one = bool((np.asarray(m[:, 5:6]) == one).all())
+
     combine = jax.jit(lambda mm: _combine4(mulfn, mm))
     t0 = time.time()
-    f4 = combine(m)
+    f4 = combine(m[:, :5])  # same (12L/6L, 5) shape as before: cache hit
     e4 = mod.final_exponentiation(ps, f4)
     e4 = np.asarray(e4)  # full host fetch: tunnel-safe sync
     t_fe = time.time() - t0
@@ -158,7 +163,9 @@ def run_family(name: str, rng):
         "corrupt_g1_rejects": not is_one[1],
         "corrupt_g2_rejects": not is_one[2],
         "nondegenerate": not is_one[3],
-        "pass": is_one[0] and not is_one[1] and not is_one[2] and not is_one[3],
+        "infinity_yields_one": inf_is_one,
+        "pass": is_one[0] and not is_one[1] and not is_one[2]
+        and not is_one[3] and inf_is_one,
         "miller_s": round(t_miller, 1),
         "final_exp_s": round(t_fe, 1),
         "total_s": round(time.time() - t_start, 1),
