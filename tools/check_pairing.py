@@ -12,7 +12,8 @@ REJECT, and the bare e(P, Q) must be non-degenerate (!= 1).  A wrong
 Miller loop, tower, Frobenius table, or final exponentiation cannot
 satisfy all four outcomes.
 
-One Miller-loop batch of 5 pairs + ONE batched final exponentiation of
+One Miller-loop batch of 6 pairs (incl. an infinity pair exercising
+the identity mask, as the reference's pairing-with-zero tests do) + ONE batched final exponentiation of
 the 4 check products per family, so the run reuses exactly the stage
 executables the public pairing()/pairing_eq() API dispatches.
 
@@ -135,7 +136,7 @@ def run_family(name: str, rng):
     m = mod.miller_loop(ps, Ps, Qs)
     m.block_until_ready()
     t_miller = time.time() - t0
-    log(f"{name}: miller loop (5 pairs) {t_miller:.1f}s")
+    log(f"{name}: miller loop (6 pairs) {t_miller:.1f}s")
 
     if ext == 12:
         tw = ps.tower

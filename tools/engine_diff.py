@@ -8,7 +8,7 @@ between INDEPENDENT device paths:
   4. naive    — per-point double-and-add ladder + tree sum (ops.msm.naive;
                 shares NO pipeline stage with the bucket engines)
 
-All four must agree as group elements, and match the host-side collapse
+All five must agree as group elements, and match the host-side collapse
 (sum k_i * m_i) * G of the synthetic input.  Usage:
     DIFF_LOG2N=16 python tools/engine_diff.py
 """
@@ -89,7 +89,11 @@ def main():
 
     total = sum(k * mults[i % base] for i, k in enumerate(ks)) % curve.r
     expected = oc.mul(oc.g, total)
-    agree = len(results) >= 2 and all(v == expected for v in results.values())
+    agree = (
+        len(results) >= 2
+        and not errors  # a crashed engine is a FAILED differential
+        and all(v == expected for v in results.values())
+    )
     out = {
         "n": n,
         "engines": sorted(results),
