@@ -10,7 +10,8 @@ in the style of tools/check_groth16.py: for random a, b
 must ACCEPT, while corrupting either input ((a+1)P or (b+1)Q) must
 REJECT, and the bare e(P, Q) must be non-degenerate (!= 1).  A wrong
 Miller loop, tower, Frobenius table, or final exponentiation cannot
-satisfy all four outcomes.
+satisfy all five outcomes (incl. the
+infinity-pair identity).
 
 One Miller-loop batch of 6 pairs (incl. an infinity pair exercising
 the identity mask, as the reference's pairing-with-zero tests do) + ONE batched final exponentiation of

@@ -2,10 +2,12 @@
 check (wasmcurves/test/batchAffine.js:1258-1301, 2^16 random points) run
 between INDEPENDENT device paths:
 
-  1. pallas   — VMEM-bucket sweep + fused finish kernel
-  2. pallas-sorted — sort + running-sum sweep + segmented combine
-  3. xla      — jnp private-bucket scatter
-  4. naive    — per-point double-and-add ladder + tree sum (ops.msm.naive;
+  1. pallas   — VMEM-bucket sweep + fused finish kernel (GLV c=6)
+  2. pallas-full-c7 — the r5 shipping config: full 255-bit scalars,
+                u16-packed c=7 buckets + finish_large
+  3. pallas-sorted — sort + running-sum sweep + segmented combine
+  4. xla      — jnp private-bucket scatter
+  5. naive    — per-point double-and-add ladder + tree sum (ops.msm.naive;
                 shares NO pipeline stage with the bucket engines)
 
 All five must agree as group elements, and match the host-side collapse
